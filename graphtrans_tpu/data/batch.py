@@ -1,0 +1,251 @@
+"""Static-shape padded graph batch container.
+
+The reference (PyG `Batch`, see /root/reference/main.py:142-153) concatenates
+ragged graphs into dynamic-shape tensors. XLA requires static shapes, so we
+instead pad every batch to bucketed capacities `(num_graphs, num_nodes,
+num_edges)` and carry explicit validity masks. The last graph slot is reserved
+as a "padding graph" that absorbs all padding nodes/edges (jraph-style), so
+segment reductions never index out of range.
+
+Dense packing for the transformer stage: the reference front-pads each graph's
+node sequence and truncates to the LAST `max_input_len` nodes
+(/root/reference/modules/utils.py:5-29). We keep the same truncation semantics
+(keep the last S nodes) but pack valid nodes contiguously from position 0 —
+the batch carries `node_pos`, the target column of each node in the dense
+`[B, S(+1), d]` tensor; truncated/padding nodes point at a trash column that is
+sliced off after the scatter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GraphBatch:
+    """A padded, statically-shaped batch of graphs (all leaves are arrays).
+
+    Shapes: N = padded node count, E = padded edge count, G = padded graph
+    count (last slot is the padding graph when any padding exists).
+    """
+
+    # --- node level ---
+    node_feat: Any        # [N, F] float32 or int32 (raw features, pre-encoder)
+    node_graph: Any       # [N] int32: graph id per node (padding -> G-1)
+    node_pos: Any         # [N] int32: column in dense [G, S] packing (trash -> S)
+    node_mask: Any        # [N] bool: valid node (and not truncated? no: valid node)
+    node_depth: Any       # [N] int32 (code2 AST depth) or zeros
+    # --- edge level (sorted by edge_dst for segment-reduce locality) ---
+    edge_src: Any         # [E] int32 (padding -> N-1)
+    edge_dst: Any         # [E] int32 (padding -> N-1)
+    edge_attr: Any        # [E, Fe] float32/int32 (zeros when dataset has none)
+    edge_mask: Any        # [E] bool
+    # --- graph level ---
+    graph_mask: Any       # [G] bool
+    num_nodes: Any        # [G] int32 valid nodes per graph
+    y: Any                # [G, T] float32 (mol multi-task) or [G] int32 (class id)
+    y_arr: Any            # [G, L] int32 (code2 target token array) or [G, 0]
+    # dense adjacency for the masked (structure-restricted) encoder; built
+    # lazily only when masked layers are enabled (the reference builds it
+    # unconditionally and pickles it: /root/reference/data/adj_list.py:37-49).
+    dense_adj: Any = None  # [G, S, S] bool or None
+
+    # --- static metadata (aux_data, not traced) ---
+    max_nodes_dense: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def num_node_slots(self) -> int:
+        return self.node_graph.shape[0]
+
+    @property
+    def num_edge_slots(self) -> int:
+        return self.edge_src.shape[0]
+
+    @property
+    def num_graph_slots(self) -> int:
+        return self.graph_mask.shape[0]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def bucket_size(n: int, multiple: int = 128) -> int:
+    """Round `n` up to a small set of bucket sizes to bound recompilation.
+
+    Buckets are powers of two times `multiple` subdivided into quarters
+    (1.0x, 1.25x, 1.5x, 1.75x), giving at most ~4 buckets per octave.
+    """
+    n = max(n, 1)
+    b = multiple
+    while b < n:
+        b *= 2
+    if b == multiple:
+        return b
+    lower = b // 2
+    for frac in (1.25, 1.5, 1.75):
+        cand = int(lower * frac)
+        cand = _round_up(cand, multiple)
+        if cand >= n:
+            return cand
+    return b
+
+
+def collate(
+    graphs: list[dict],
+    num_graphs_cap: int,
+    num_nodes_cap: int,
+    num_edges_cap: int,
+    max_input_len: int = 1000,
+    num_tasks: int = 1,
+    max_seq_len: Optional[int] = None,
+    y_dtype: str = "int32",
+    with_dense_adj: bool = False,
+) -> GraphBatch:
+    """Assemble a list of host-side graph dicts into one padded GraphBatch.
+
+    Each graph dict has numpy arrays: ``x [n,F]``, ``edge_index [2,e]`` and
+    optionally ``edge_attr [e,Fe]``, ``y``, ``y_arr [L]``, ``node_depth [n]``.
+
+    Semantics mirrored from the reference:
+      - graphs larger than ``max_input_len`` keep their LAST ``max_input_len``
+        nodes in the dense transformer packing
+        (/root/reference/modules/utils.py:22-24) — message passing still sees
+        all nodes; only the dense packing truncates.
+      - edges are sorted by destination node so the segment reduction is a
+        contiguous-run reduce (TPU-friendly CSR layout).
+    """
+    G, N, E = num_graphs_cap, num_nodes_cap, num_edges_cap
+    n_real = len(graphs)
+    if n_real > G:
+        raise ValueError(f"batch of {n_real} graphs exceeds cap {G}")
+
+    total_nodes = sum(int(g["x"].shape[0]) for g in graphs)
+    total_edges = sum(int(g["edge_index"].shape[1]) for g in graphs)
+    if total_nodes > N:
+        raise ValueError(f"{total_nodes} nodes exceed cap {N}")
+    if total_edges > E:
+        raise ValueError(f"{total_edges} edges exceed cap {E}")
+
+    feat_dim = graphs[0]["x"].shape[1] if graphs[0]["x"].ndim == 2 else 1
+    feat_dtype = graphs[0]["x"].dtype
+    ea0 = graphs[0].get("edge_attr")
+    edge_dim = 0 if ea0 is None else (ea0.shape[1] if ea0.ndim == 2 else 1)
+    edge_dtype = np.float32 if ea0 is None else ea0.dtype
+
+    node_feat = np.zeros((N, feat_dim), dtype=feat_dtype)
+    node_graph = np.full((N,), G - 1, dtype=np.int32)
+    node_pos = np.zeros((N,), dtype=np.int32)
+    node_mask = np.zeros((N,), dtype=bool)
+    node_depth = np.zeros((N,), dtype=np.int32)
+    edge_src = np.full((E,), N - 1, dtype=np.int32)
+    edge_dst = np.full((E,), N - 1, dtype=np.int32)
+    edge_attr = np.zeros((E, max(edge_dim, 1)), dtype=edge_dtype)
+    edge_mask = np.zeros((E,), dtype=bool)
+    graph_mask = np.zeros((G,), dtype=bool)
+    num_nodes = np.zeros((G,), dtype=np.int32)
+
+    if max_seq_len is not None:
+        y_arr = np.zeros((G, max_seq_len), dtype=np.int32)
+    else:
+        y_arr = np.zeros((G, 0), dtype=np.int32)
+
+    if y_dtype == "int32":
+        y = np.zeros((G,), dtype=np.int32)
+    else:
+        y = np.full((G, num_tasks), np.nan, dtype=np.float32)
+
+    # dense packing width: reference uses min(max nodes in batch, max_input_len)
+    # (/root/reference/modules/utils.py:16). We bucket it for shape stability.
+    max_n = max((int(g["x"].shape[0]) for g in graphs), default=1)
+    S = min(bucket_size(max_n, 16), max_input_len)
+
+    node_off = 0
+    edge_off = 0
+    for i, g in enumerate(graphs):
+        n = int(g["x"].shape[0])
+        e = int(g["edge_index"].shape[1])
+        x = g["x"].reshape(n, -1)
+        node_feat[node_off : node_off + n] = x
+        node_graph[node_off : node_off + n] = i
+        node_mask[node_off : node_off + n] = True
+        if "node_depth" in g and g["node_depth"] is not None:
+            node_depth[node_off : node_off + n] = g["node_depth"].reshape(-1)
+        # dense position: keep LAST min(n, S) nodes, packed from column 0.
+        n_keep = min(n, S)
+        pos = np.full((n,), S, dtype=np.int32)  # default: trash column
+        pos[n - n_keep :] = np.arange(n_keep, dtype=np.int32)
+        node_pos[node_off : node_off + n] = pos
+
+        ei = g["edge_index"]
+        edge_src[edge_off : edge_off + e] = ei[0] + node_off
+        edge_dst[edge_off : edge_off + e] = ei[1] + node_off
+        if edge_dim > 0:
+            edge_attr[edge_off : edge_off + e] = g["edge_attr"].reshape(e, -1)
+        edge_mask[edge_off : edge_off + e] = True
+
+        graph_mask[i] = True
+        num_nodes[i] = n
+        gy = g.get("y")
+        if gy is not None:
+            if y_dtype == "int32":
+                y[i] = int(np.asarray(gy).reshape(-1)[0])
+            else:
+                arr = np.asarray(gy, dtype=np.float32).reshape(-1)
+                y[i, : arr.shape[0]] = arr
+        if max_seq_len is not None and "y_arr" in g:
+            y_arr[i] = np.asarray(g["y_arr"], dtype=np.int32).reshape(-1)[:max_seq_len]
+
+        node_off += n
+        edge_off += e
+
+    # sort edges by destination (stable) -> contiguous segments per node.
+    order = np.argsort(edge_dst[:edge_off], kind="stable")
+    full_order = np.concatenate([order, np.arange(edge_off, E)])
+    edge_src = edge_src[full_order]
+    edge_dst = edge_dst[full_order]
+    edge_attr = edge_attr[full_order]
+    edge_mask = edge_mask[full_order]
+
+    dense_adj = None
+    if with_dense_adj:
+        dense_adj = np.zeros((G, S + 1, S + 1), dtype=bool)
+        # self loops on valid positions (reference: np.eye base,
+        # /root/reference/data/adj_list.py:11-15)
+        for i, g in enumerate(graphs):
+            n = int(g["x"].shape[0])
+            n_keep = min(n, S)
+            dense_adj[i, np.arange(n_keep), np.arange(n_keep)] = True
+        # map node -> (graph, pos) for both endpoints
+        vsrc = edge_src[edge_mask]
+        vdst = edge_dst[edge_mask]
+        gi = node_graph[vsrc]
+        ps = node_pos[vsrc]
+        pd = node_pos[vdst]
+        keep = (ps < S) & (pd < S)
+        dense_adj[gi[keep], ps[keep], pd[keep]] = True
+        dense_adj[gi[keep], pd[keep], ps[keep]] = True
+        dense_adj = dense_adj[:, :S, :S]
+
+    return GraphBatch(
+        node_feat=node_feat,
+        node_graph=node_graph,
+        node_pos=node_pos,
+        node_mask=node_mask,
+        node_depth=node_depth,
+        edge_src=edge_src,
+        edge_dst=edge_dst,
+        edge_attr=edge_attr,
+        edge_mask=edge_mask,
+        graph_mask=graph_mask,
+        num_nodes=num_nodes,
+        y=y,
+        y_arr=y_arr,
+        dense_adj=dense_adj,
+        max_nodes_dense=S,
+    )

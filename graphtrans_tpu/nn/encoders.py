@@ -1,0 +1,103 @@
+"""Node / edge feature encoders.
+
+TPU-native re-implementations of the encoder zoo the reference wires per
+dataset (/root/reference/dataset/{code,mol,tud}.py):
+  - AtomEncoder / BondEncoder: OGB molecule categorical embeddings
+    (sum of one embedding table per feature column, xavier-uniform init —
+    mirrors ogb.graphproppred.mol_encoder).
+  - ASTNodeEncoder: type + attribute + clamped-depth embeddings
+    (/root/reference/dataset/utils.py:8-30).
+  - LinearNodeEncoder: TU datasets (/root/reference/dataset/tud.py:65).
+  - LinearEdgeEncoder: code2's 2-dim augmented edge attrs
+    (/root/reference/dataset/code.py:117).
+  - ZeroEdgeEncoder: TU datasets have no edge features
+    (/root/reference/dataset/tud.py:67-71).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .init import TDense, normal, xavier_uniform
+
+# OGB molecule categorical feature cardinalities
+# (ogb.utils.features.get_atom_feature_dims / get_bond_feature_dims).
+ATOM_FEATURE_DIMS = (119, 4, 12, 12, 10, 6, 6, 2, 2)
+BOND_FEATURE_DIMS = (5, 6, 2)
+
+
+class AtomEncoder(nn.Module):
+    emb_dim: int
+    feature_dims: Sequence[int] = ATOM_FEATURE_DIMS
+
+    @nn.compact
+    def __call__(self, x):  # x: [N, F] int
+        out = 0
+        for i, n in enumerate(self.feature_dims[: x.shape[1]]):
+            tbl = self.param(f"emb_{i}", xavier_uniform(), (n, self.emb_dim))
+            out = out + tbl[jnp.clip(x[:, i].astype(jnp.int32), 0, n - 1)]
+        return out
+
+
+class BondEncoder(nn.Module):
+    emb_dim: int
+    feature_dims: Sequence[int] = BOND_FEATURE_DIMS
+
+    @nn.compact
+    def __call__(self, e):  # e: [E, F] int
+        out = 0
+        for i, n in enumerate(self.feature_dims[: e.shape[1]]):
+            tbl = self.param(f"emb_{i}", xavier_uniform(), (n, self.emb_dim))
+            out = out + tbl[jnp.clip(e[:, i].astype(jnp.int32), 0, n - 1)]
+        return out
+
+
+class ASTNodeEncoder(nn.Module):
+    """emb = type_emb(x[:,0]) + attr_emb(x[:,1]) + depth_emb(min(depth, max_depth))."""
+
+    emb_dim: int
+    num_nodetypes: int
+    num_nodeattributes: int
+    max_depth: int = 20
+    takes_depth: bool = True
+
+    @nn.compact
+    def __call__(self, x, depth):
+        type_tbl = self.param("type_emb", normal(1.0), (self.num_nodetypes, self.emb_dim))
+        attr_tbl = self.param(
+            "attr_emb", normal(1.0), (self.num_nodeattributes, self.emb_dim)
+        )
+        depth_tbl = self.param("depth_emb", normal(1.0), (self.max_depth + 1, self.emb_dim))
+        xi = x.astype(jnp.int32)
+        d = jnp.clip(depth.astype(jnp.int32), 0, self.max_depth)
+        return type_tbl[xi[:, 0]] + attr_tbl[xi[:, 1]] + depth_tbl[d]
+
+
+class LinearNodeEncoder(nn.Module):
+    emb_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return TDense(self.emb_dim)(x.astype(jnp.float32))
+
+
+class LinearEdgeEncoder(nn.Module):
+    emb_dim: int
+
+    @nn.compact
+    def __call__(self, e):
+        return TDense(self.emb_dim)(e.astype(jnp.float32))
+
+
+class ZeroEdgeEncoder(nn.Module):
+    """Edge "encoder" for datasets without edge features: contributes 0, so
+    messages reduce to relu(x_j) exactly as in the reference TU path."""
+
+    emb_dim: int
+
+    @nn.compact
+    def __call__(self, e):
+        return jnp.zeros((e.shape[0], self.emb_dim), jnp.float32)

@@ -1,0 +1,148 @@
+"""Global-attention transformer encoder over packed node sequences.
+
+Re-implements the semantics of torch `nn.TransformerEncoder` as configured by
+the reference (/root/reference/modules/transformer_encoder.py:9-61):
+post-norm layers (attn -> add -> LN -> FF -> add -> LN), a final LayerNorm,
+key-padding masking, optional input LayerNorm (--transformer_norm_input), and
+a learnable CLS token. The reference concatenates CLS at the END of its
+front-padded [S,B,d] sequence; here sequences are batch-major back-padded
+[B,S,d] and CLS occupies a dedicated final column — the same readout position
+(index -1) and the same set of attended keys.
+
+Layout is [B, S, d] throughout (TPU/MXU-friendly batched matmuls; XLA fuses
+the softmax chain). The attention uses a numerically-safe masked softmax so
+fully-padded rows (possible for padding graphs in a static batch — impossible
+in the reference's dynamic batches) produce zeros, not NaN.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .init import TDense, kaiming_uniform, normal
+
+
+def masked_softmax(scores, key_valid, axis=-1):
+    """softmax over `axis` with invalid keys excluded; all-invalid rows -> 0."""
+    neg = jnp.asarray(-1e30, scores.dtype)
+    scores = jnp.where(key_valid, scores, neg)
+    m = jnp.max(scores, axis=axis, keepdims=True)
+    e = jnp.exp(scores - jax.lax.stop_gradient(m))
+    e = jnp.where(key_valid, e, 0)
+    denom = jnp.sum(e, axis=axis, keepdims=True)
+    return e / jnp.maximum(denom, 1e-16)
+
+
+class MultiheadSelfAttention(nn.Module):
+    """torch nn.MultiheadAttention-equivalent self-attention (combined QKV
+    projection, xavier-uniform init, zero-init projection biases)."""
+
+    d_model: int
+    nhead: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, key_valid, training: bool, attn_bias=None):
+        B, S, d = x.shape
+        assert d == self.d_model and d % self.nhead == 0
+        hd = d // self.nhead
+        in_proj = self.param("in_proj", nn.initializers.xavier_uniform(), (d, 3 * d))
+        in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,))
+        qkv = x @ in_proj + in_bias
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):  # [B,S,d] -> [B,H,S,hd]
+            return t.reshape(B, S, self.nhead, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.asarray(hd, scores.dtype))
+        if attn_bias is not None:
+            scores = scores + attn_bias
+        att = masked_softmax(scores, key_valid[:, None, None, :])
+        att = nn.Dropout(self.dropout)(att, deterministic=not training)
+        y = jnp.einsum("bhqk,bhkd->bhqd", att, v.astype(att.dtype))
+        y = y.transpose(0, 2, 1, 3).reshape(B, S, d).astype(x.dtype)
+        out_w = self.param("out_proj", kaiming_uniform(), (d, d))
+        out_b = self.param("out_proj_bias", nn.initializers.zeros, (d,))
+        return y @ out_w + out_b
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-norm torch TransformerEncoderLayer: x = LN1(x + Drop(attn(x)));
+    x = LN2(x + Drop(lin2(Drop(act(lin1(x))))))."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, key_valid, training: bool):
+        act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
+        drop = lambda t: nn.Dropout(self.dropout)(t, deterministic=not training)
+        a = MultiheadSelfAttention(self.d_model, self.nhead, self.dropout)(
+            x, key_valid, training
+        )
+        x = nn.LayerNorm()(x + drop(a))
+        f = TDense(self.dim_feedforward)(x)
+        f = drop(act(f))
+        f = TDense(self.d_model)(f)
+        x = nn.LayerNorm()(x + drop(f))
+        return x
+
+
+class TransformerNodeEncoder(nn.Module):
+    d_model: int
+    nhead: int = 4
+    dim_feedforward: int = 512
+    dropout: float = 0.3
+    activation: str = "relu"
+    num_layers: int = 4
+    norm_input: bool = False
+    use_cls: bool = False
+
+    @nn.compact
+    def __call__(self, dense, valid, training: bool):
+        """dense: [B,S,d], valid: [B,S] -> ([B,S(+1),d], [B,S(+1)])."""
+        B = dense.shape[0]
+        if self.use_cls:
+            cls = self.param("cls_embedding", normal(1.0), (self.d_model,))
+            cls_col = jnp.broadcast_to(cls, (B, 1, self.d_model)).astype(dense.dtype)
+            dense = jnp.concatenate([dense, cls_col], axis=1)
+            valid = jnp.concatenate([valid, jnp.ones((B, 1), bool)], axis=1)
+        if self.norm_input:
+            dense = nn.LayerNorm(name="norm_input")(dense)
+        for i in range(self.num_layers):
+            dense = TransformerEncoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                self.activation, name=f"layer_{i}",
+            )(dense, valid, training)
+        dense = nn.LayerNorm(name="final_norm")(dense)
+        return dense, valid
+
+
+class PositionalEncoding(nn.Module):
+    """Sinusoidal PE ablation (--pos_encoder,
+    /root/reference/models/gnn_transformer.py:149-168). Deviation: positions
+    are 0-based per graph (batch-composition independent) rather than the
+    reference's front-pad offsets."""
+
+    d_model: int
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, dense):
+        S = dense.shape[1]
+        pos = jnp.arange(S, dtype=jnp.float32)[:, None]
+        div = jnp.exp(
+            jnp.arange(0, self.d_model, 2, dtype=jnp.float32)
+            * (-jnp.log(10000.0) / self.d_model)
+        )
+        pe = jnp.zeros((S, self.d_model))
+        pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+        pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+        return dense + pe[None, :, :]
