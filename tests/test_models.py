@@ -1,0 +1,159 @@
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphtrans_tpu.data.batch import collate
+from graphtrans_tpu.models import MODELS
+from graphtrans_tpu.nn.encoders import LinearNodeEncoder, ZeroEdgeEncoder
+from tests.conftest import make_random_graph
+
+
+def default_args(**over):
+    ns = argparse.Namespace(
+        model_type="gnn-transformer",
+        graph_pooling="cls",
+        gnn_type="gcn",
+        gnn_virtual_node=False,
+        gnn_dropout=0.1,
+        gnn_num_layer=2,
+        gnn_emb_dim=16,
+        gnn_JK="last",
+        gnn_residual=False,
+        d_model=16,
+        nhead=4,
+        dim_feedforward=32,
+        transformer_dropout=0.1,
+        transformer_activation="relu",
+        num_encoder_layers=2,
+        max_input_len=1000,
+        transformer_norm_input=True,
+        num_encoder_layers_masked=0,
+        transformer_prenorm=False,
+        max_seq_len=None,
+        pos_encoder=False,
+        pretrained_gnn=None,
+        freeze_gnn=None,
+        graph_input_dim=None,
+        aggregators=["mean", "max", "min", "std"],
+        scalers=["identity", "amplification", "attenuation"],
+    )
+    for k, v in over.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def make_batch(rng, n=3, feat_dim=8):
+    graphs = [make_random_graph(rng, 5 + i, 8 + i, feat_dim=feat_dim) for i in range(n)]
+    return collate(graphs, n + 1, 32, 64)
+
+
+def build_and_run(model_cls, args, batch, num_tasks=2, deg=None, training=False):
+    node_enc = LinearNodeEncoder(model_cls.get_emb_dim(args))
+    model = model_cls.build(num_tasks, args, node_enc, ZeroEdgeEncoder, deg=deg)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, None, False,
+    )
+    out, mutated = model.apply(
+        variables, batch, None, training,
+        rngs={"dropout": jax.random.key(2)},
+        mutable=["batch_stats"],
+    )
+    return out, variables
+
+
+@pytest.mark.parametrize("name", ["gnn", "transformer", "gnn-transformer", "transformer-gnn"])
+def test_models_forward_shapes(rng, name):
+    batch = make_batch(rng)
+    args = default_args(model_type=name, graph_pooling="cls" if "transformer" in name else "mean")
+    if name in ("gnn", "transformer-gnn"):
+        args.graph_pooling = "mean"
+    out, _ = build_and_run(MODELS[name], args, batch)
+    assert out.shape == (4, 2)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("name", ["pna", "pna-transformer"])
+def test_pna_models(rng, name):
+    batch = make_batch(rng)
+    args = default_args(model_type=name, gnn_emb_dim=16,
+                        graph_pooling="mean" if name == "pna" else "cls")
+    deg = np.bincount([2, 3, 2, 4, 1], minlength=10)
+    out, _ = build_and_run(MODELS[name], args, batch, deg=deg)
+    assert out.shape == (4, 2)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_gnn_transformer_variants(rng):
+    batch = make_batch(rng)
+    for over in [
+        dict(gnn_virtual_node=True),
+        dict(gnn_JK="cat"),
+        dict(gnn_JK="sum"),
+        dict(gnn_type="gin"),
+        dict(gnn_residual=True),
+        dict(graph_pooling="mean"),
+        dict(graph_pooling="last"),
+        dict(pos_encoder=True),
+        dict(max_seq_len=5),
+    ]:
+        args = default_args(**over)
+        out, _ = build_and_run(MODELS["gnn-transformer"], args, batch, training=True)
+        if over.get("max_seq_len"):
+            assert out.shape == (4, 5, 2)
+        else:
+            assert out.shape == (4, 2)
+        assert np.all(np.isfinite(np.asarray(out))), over
+
+
+def test_masked_encoder_path(rng):
+    graphs = [make_random_graph(rng, 5, 8), make_random_graph(rng, 4, 6)]
+    batch = collate(graphs, 3, 16, 32, with_dense_adj=True)
+    args = default_args(num_encoder_layers_masked=1)
+    out, _ = build_and_run(MODELS["gnn-transformer"], args, batch)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_pooling_zoo(rng):
+    batch = make_batch(rng)
+    for pool in ["sum", "mean", "max", "attention", "set2set"]:
+        args = default_args(model_type="gnn", graph_pooling=pool)
+        out, _ = build_and_run(MODELS["gnn"], args, batch)
+        assert out.shape == (4, 2), pool
+
+
+def test_padding_invariance(rng):
+    """Same graphs, different padding -> identical valid outputs (eval mode)."""
+    graphs = [make_random_graph(rng, 5, 8), make_random_graph(rng, 4, 6)]
+    b1 = collate(graphs, 3, 16, 32)
+    b2 = collate(graphs, 6, 32, 64)
+    args = default_args()
+    node_enc = LinearNodeEncoder(16)
+    model = MODELS["gnn-transformer"].build(2, args, node_enc, ZeroEdgeEncoder)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, b1, None, False
+    )
+    o1 = model.apply(variables, b1, None, False)
+    o2 = model.apply(variables, b2, None, False)
+    np.testing.assert_allclose(np.asarray(o1)[:2], np.asarray(o2)[:2], rtol=2e-4, atol=2e-5)
+
+
+def test_perturb_gradient_flows(rng):
+    batch = make_batch(rng)
+    args = default_args()
+    node_enc = LinearNodeEncoder(16)
+    model = MODELS["gnn-transformer"].build(2, args, node_enc, ZeroEdgeEncoder)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch, None, False
+    )
+    perturb = jnp.zeros((batch.num_node_slots, 16))
+
+    def loss(p):
+        out = model.apply(variables, batch, p, False)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(perturb)
+    assert np.abs(np.asarray(g)).sum() > 0
