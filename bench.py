@@ -1,0 +1,126 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Metric: training-step throughput in edges/s/chip for the flagship GraphTrans
+model (GCN stack -> CLS transformer) on a molpcba-like synthetic workload
+(batch 256 graphs, ~26 nodes/graph — the shape of the reference's headline
+OGBG runs). The reference never measured throughput (SURVEY.md §6), so
+`vs_baseline` reports speedup over a deliberately naive reference-semantics
+implementation (per-edge unsorted scatter + unfused message construction)
+measured on the same hardware in the same run — the XLA-unaware formulation a
+direct PyG port would produce.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def naive_gather_message_scatter(x, edge_emb, edge_src, edge_dst, edge_mask,
+                                 num_nodes, message="relu_add", edge_weight=None):
+    """Reference-semantics scatter without dst-sorting assumptions or fusion:
+    builds messages in fp32, scatter-adds one by one (XLA scatter with
+    unsorted indices)."""
+    xj = jnp.take(x, edge_src, axis=0)
+    m = jnp.maximum(xj + edge_emb, 0) if message == "relu_add" else xj + edge_emb
+    if edge_weight is not None:
+        m = m * edge_weight[:, None]
+    m = jnp.where(edge_mask[:, None], m, 0)
+    out = jnp.zeros((num_nodes, x.shape[-1]), x.dtype)
+    return out.at[edge_dst].add(m, mode="drop", unique_indices=False)
+
+
+def build(batch_size=256, nodes_per=26, emb=256, seed=0):
+    from graphtrans_tpu.data.batch import collate
+    from graphtrans_tpu.data.loader import dataset_caps
+    from graphtrans_tpu.data.synthetic import make_mol_dataset
+    from graphtrans_tpu.models import MODELS
+    from graphtrans_tpu.nn.encoders import AtomEncoder, BondEncoder
+    from graphtrans_tpu.train import losses
+    from graphtrans_tpu.train.optim import build_optimizer
+    from graphtrans_tpu.train.state import TrainState
+    from graphtrans_tpu.trainers import TRAINER_REGISTRY
+    from __graft_entry__ import _flagship_args
+
+    graphs = make_mol_dataset(num_graphs=batch_size, num_tasks=128,
+                              min_nodes=nodes_per - 6, max_nodes=nodes_per + 6,
+                              seed=seed)
+    caps = dataset_caps(graphs, batch_size)
+    batch = collate(graphs, batch_size + 1, caps[0], caps[1],
+                    num_tasks=128, y_dtype="float32")
+    args = _flagship_args(gnn_type="gin", gnn_virtual_node=True, gnn_JK="cat",
+                          gnn_emb_dim=emb, d_model=128, gnn_dropout=0.3)
+    model = MODELS["gnn-transformer"].build(
+        128, args, AtomEncoder(emb), lambda e: BondEncoder(e))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, None, False,
+    )
+    tx, _ = build_optimizer(args, 100)
+    state = TrainState.create(variables["params"], variables.get("batch_stats", {}),
+                              tx.init(variables["params"]))
+    trainer = TRAINER_REGISTRY["baseline"]
+    step = trainer.make_train_step(model, losses.binary_multitask_loss, tx, args,
+                                   donate=False)
+    return state, step, batch
+
+
+def time_steps(step, state, batch, rng, warmup=3, iters=20):
+    for _ in range(warmup):
+        state, loss = step(state, batch, rng)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, batch, rng)
+    jax.block_until_ready(loss)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=256)
+    args = p.parse_args()
+
+    from graphtrans_tpu.ops import scatter
+
+    state, step, batch = build(batch_size=args.batch_size)
+    rng = jax.random.key(0)
+    edges = int(np.asarray(batch.edge_mask).sum())
+
+    dt = time_steps(step, state, batch, rng, iters=args.iters)
+    edges_per_s = edges / dt
+
+    # naive reference-semantics baseline: swap the scatter path
+    import graphtrans_tpu.ops.scatter as sc
+
+    orig = sc.gather_message_scatter
+    sc.gather_message_scatter = naive_gather_message_scatter
+    try:
+        state_n, step_n, batch_n = build(batch_size=args.batch_size)
+        dt_naive = time_steps(step_n, state_n, batch_n, rng, iters=max(args.iters // 2, 5))
+    finally:
+        sc.gather_message_scatter = orig
+    baseline_edges_per_s = edges / dt_naive
+
+    print(json.dumps({
+        "metric": "train_edges_per_sec_per_chip",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / baseline_edges_per_s, 3),
+        "detail": {
+            "step_ms": round(dt * 1e3, 2),
+            "naive_step_ms": round(dt_naive * 1e3, 2),
+            "edges": edges,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,7 @@ class GraphBatch:
     # lazily only when masked layers are enabled (the reference builds it
     # unconditionally and pickles it: /root/reference/data/adj_list.py:37-49).
     dense_adj: Any = None  # [G, S, S] bool or None
+    graph_ids: Any = None  # [G] int32: index into the source split (-1 = padding)
 
     # --- static metadata (aux_data, not traced) ---
     max_nodes_dense: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -106,6 +107,7 @@ def collate(
     max_seq_len: Optional[int] = None,
     y_dtype: str = "int32",
     with_dense_adj: bool = False,
+    dense_cap: Optional[int] = None,
 ) -> GraphBatch:
     """Assemble a list of host-side graph dicts into one padded GraphBatch.
 
@@ -149,6 +151,7 @@ def collate(
     edge_mask = np.zeros((E,), dtype=bool)
     graph_mask = np.zeros((G,), dtype=bool)
     num_nodes = np.zeros((G,), dtype=np.int32)
+    graph_ids = np.full((G,), -1, dtype=np.int32)
 
     if max_seq_len is not None:
         y_arr = np.zeros((G, max_seq_len), dtype=np.int32)
@@ -161,9 +164,14 @@ def collate(
         y = np.full((G, num_tasks), np.nan, dtype=np.float32)
 
     # dense packing width: reference uses min(max nodes in batch, max_input_len)
-    # (/root/reference/modules/utils.py:16). We bucket it for shape stability.
-    max_n = max((int(g["x"].shape[0]) for g in graphs), default=1)
-    S = min(bucket_size(max_n, 16), max_input_len)
+    # (/root/reference/modules/utils.py:16). We bucket it for shape stability;
+    # dense_cap pins it dataset-wide (required for sharded stacking, and keeps
+    # one compiled shape per epoch).
+    if dense_cap is not None:
+        S = min(dense_cap, max_input_len)
+    else:
+        max_n = max((int(g["x"].shape[0]) for g in graphs), default=1)
+        S = min(bucket_size(max_n, 16), max_input_len)
 
     node_off = 0
     edge_off = 0
@@ -191,6 +199,7 @@ def collate(
 
         graph_mask[i] = True
         num_nodes[i] = n
+        graph_ids[i] = int(g.get("_id", -1))
         gy = g.get("y")
         if gy is not None:
             if y_dtype == "int32":
@@ -247,5 +256,6 @@ def collate(
         y=y,
         y_arr=y_arr,
         dense_adj=dense_adj,
+        graph_ids=graph_ids,
         max_nodes_dense=S,
     )

@@ -1,0 +1,134 @@
+"""Host-side batching: shuffle, chunk into graph batches, collate to padded
+GraphBatch (optionally stacked per-device for shard_map data parallelism).
+
+Replaces the reference's PyG DataLoader (/root/reference/main.py:142-153).
+Capacities are bucketed per batch (see data/batch.bucket_size) so XLA sees a
+small, bounded set of shapes; pass fixed_caps to pin one shape for the whole
+epoch (zero recompiles — the production setting).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .batch import GraphBatch, bucket_size, collate
+
+
+def dataset_caps(graphs: Sequence[dict], batch_size: int,
+                 node_multiple: int = 256, edge_multiple: int = 512):
+    """Fixed capacities covering any `batch_size` graphs of this dataset:
+    batch_size * p95 sizes, with headroom, bucketed."""
+    nodes = np.array([g["x"].shape[0] for g in graphs])
+    edges = np.array([g["edge_index"].shape[1] for g in graphs])
+    ncap = int(min(nodes.sum(), batch_size * max(np.percentile(nodes, 95), 1) * 1.3 + nodes.max()))
+    ecap = int(min(edges.sum(), batch_size * max(np.percentile(edges, 95), 1) * 1.3 + max(edges.max(), 1)))
+    return bucket_size(max(ncap, 1), node_multiple), bucket_size(max(ecap, 1), edge_multiple)
+
+
+class GraphLoader:
+    def __init__(
+        self,
+        graphs: Sequence[dict],
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        num_tasks: int = 1,
+        max_seq_len: Optional[int] = None,
+        y_dtype: str = "int32",
+        max_input_len: int = 1000,
+        with_dense_adj: bool = False,
+        fixed_caps: Optional[tuple] = None,
+        drop_overflow: bool = True,
+        num_shards: int = 1,
+    ):
+        self.graphs = [dict(g, _id=i) for i, g in enumerate(graphs)]
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.num_tasks = num_tasks
+        self.max_seq_len = max_seq_len
+        self.y_dtype = y_dtype
+        self.max_input_len = max_input_len
+        self.with_dense_adj = with_dense_adj
+        self.num_shards = num_shards
+        if fixed_caps is None:
+            fixed_caps = dataset_caps(self.graphs, batch_size)
+        self.node_cap, self.edge_cap = fixed_caps
+        self.drop_overflow = drop_overflow
+        # pin the dense transformer width dataset-wide: one compiled shape
+        # per epoch, and shard batches stay stackable
+        max_n = max((int(g["x"].shape[0]) for g in self.graphs), default=1)
+        self.dense_cap = min(bucket_size(max_n, 16), max_input_len)
+
+    def __len__(self):
+        per = self.batch_size * self.num_shards
+        return (len(self.graphs) + per - 1) // per
+
+    def _collate(self, chunk):
+        # split oversized chunks defensively: drop graphs that alone exceed caps
+        kept, n_tot, e_tot = [], 0, 0
+        for g in chunk:
+            n, e = g["x"].shape[0], g["edge_index"].shape[1]
+            if n > self.node_cap or e > self.edge_cap:
+                if self.drop_overflow:
+                    continue
+                raise ValueError("graph exceeds fixed caps")
+            if n_tot + n > self.node_cap or e_tot + e > self.edge_cap:
+                break
+            kept.append(g)
+            n_tot += n
+            e_tot += e
+        if not kept:
+            return None, chunk[len(kept):]
+        return (
+            collate(
+                kept,
+                num_graphs_cap=self.batch_size + 1,
+                num_nodes_cap=self.node_cap,
+                num_edges_cap=self.edge_cap,
+                max_input_len=self.max_input_len,
+                num_tasks=self.num_tasks,
+                max_seq_len=self.max_seq_len,
+                y_dtype=self.y_dtype,
+                with_dense_adj=self.with_dense_adj,
+                dense_cap=self.dense_cap,
+            ),
+            chunk[len(kept):],
+        )
+
+    def __iter__(self):
+        import jax
+
+        order = np.arange(len(self.graphs))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        self.epoch += 1
+
+        queue = [self.graphs[i] for i in order]
+        shard_buf = []
+        while queue:
+            chunk, rest = queue[: self.batch_size], queue[self.batch_size:]
+            batch, leftover = self._collate(chunk)
+            queue = list(leftover) + rest if leftover else rest
+            if batch is None:
+                continue
+            if self.num_shards == 1:
+                yield batch
+            else:
+                shard_buf.append(batch)
+                if len(shard_buf) == self.num_shards:
+                    yield jax.tree_util.tree_map(
+                        lambda *xs: np.stack(xs, axis=0), *shard_buf
+                    )
+                    shard_buf = []
+        # tail: pad missing shards with an all-masked-out empty batch
+        # (zeroed arrays have all-False masks, so they contribute nothing)
+        if shard_buf:
+            empty = jax.tree_util.tree_map(np.zeros_like, shard_buf[-1])
+            while len(shard_buf) < self.num_shards:
+                shard_buf.append(empty)
+            yield jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *shard_buf)

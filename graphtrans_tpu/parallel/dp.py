@@ -1,0 +1,81 @@
+"""Data-parallel training over a device mesh via shard_map.
+
+The host loader emits per-device sub-batches stacked on a leading axis
+(GraphLoader(num_shards=D)); in_specs shard that axis over 'data'. Each chip
+runs the trainer's grad_fn on its local sub-batch (local segment indices — no
+cross-chip gathers in the GNN), then gradients and loss are pmean'd over ICI
+and the (replicated) optimizer update is applied identically everywhere.
+
+Masked BatchNorm is built with axis_name='data' (sync-BN: the batch statistics
+psum over the mesh), so an N-chip step matches the single-chip step on the
+same global batch up to float reassociation; without padding-count skew the
+pmean of per-shard masked-mean losses equals the global masked mean when
+shards carry equal valid-graph counts (the loader keeps shards balanced).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..trainers.base_trainer import apply_update
+from .mesh import make_mesh
+
+
+def _squeeze0(tree):
+    return jax.tree_util.tree_map(lambda x: x[0], tree)
+
+
+def make_dp_train_step(trainer, model, calc_loss, tx, args,
+                       gnn_subtree: str, n_shards: int,
+                       donate: bool = True) -> Callable:
+    mesh = make_mesh(dp=n_shards)
+    grad_fn = trainer.make_grad_fn(model, calc_loss, args)
+
+    def body(state, sharded_batch, rng):
+        batch = _squeeze0(sharded_batch)
+        local_rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        grads, new_bs, loss = grad_fn(state, batch, local_rng)
+        grads = jax.lax.pmean(grads, "data")
+        loss = jax.lax.pmean(loss, "data")
+        # sync-BN (axis_name='data') already made new_bs identical on every
+        # shard; no extra collective needed.
+        return apply_update(state, grads, new_bs, loss, tx, gnn_subtree)
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("data"), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_dp_eval_fn(model, n_shards: int) -> Callable:
+    mesh = make_mesh(dp=n_shards)
+
+    def body(params, batch_stats, sharded_batch):
+        batch = _squeeze0(sharded_batch)
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          batch, None, False)
+        return out[None]
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P("data")),
+        out_specs=P("data"),
+        check_rep=False,
+    )
+    jitted = jax.jit(sharded)
+
+    def fwd(params, batch_stats, batch):
+        out = jitted(params, batch_stats, batch)
+        # flatten device axis back into the graph axis for host-side eval
+        return np.asarray(out).reshape((-1,) + out.shape[2:])
+
+    return fwd

