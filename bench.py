@@ -84,7 +84,7 @@ def time_steps(step, state, batch, rng, warmup=3, iters=20):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=1024)
     args = p.parse_args()
 
     from graphtrans_tpu.ops import scatter

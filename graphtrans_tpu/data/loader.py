@@ -42,6 +42,7 @@ class GraphLoader:
         fixed_caps: Optional[tuple] = None,
         drop_overflow: bool = True,
         num_shards: int = 1,
+        use_native: bool = True,
     ):
         self.graphs = [dict(g, _id=i) for i, g in enumerate(graphs)]
         self.batch_size = batch_size
@@ -63,6 +64,15 @@ class GraphLoader:
         max_n = max((int(g["x"].shape[0]) for g in self.graphs), default=1)
         self.dense_cap = min(bucket_size(max_n, 16), max_input_len)
 
+        # native C++ batcher path (csrc/graph_batcher.cpp): pack once, then
+        # each batch is one native call; python collate is the fallback
+        self.packed = None
+        if use_native and not with_dense_adj and len(self.graphs) > 0:
+            from . import native
+
+            if native.native_available():
+                self.packed = native.PackedDataset(self.graphs)
+
     def __len__(self):
         per = self.batch_size * self.num_shards
         return (len(self.graphs) + per - 1) // per
@@ -83,6 +93,10 @@ class GraphLoader:
             e_tot += e
         if not kept:
             return None, chunk[len(kept):]
+        if self.packed is not None:
+            batch = self._native_collate(kept)
+            if batch is not None:
+                return batch, chunk[len(kept):]
         return (
             collate(
                 kept,
@@ -97,6 +111,46 @@ class GraphLoader:
                 dense_cap=self.dense_cap,
             ),
             chunk[len(kept):],
+        )
+
+    def _native_collate(self, kept):
+        from . import native
+
+        G = self.batch_size + 1
+        S = min(self.dense_cap, self.max_input_len)
+        idx = np.array([g["_id"] for g in kept], np.int64)
+        raw = native.native_collate(
+            self.packed, idx, self.node_cap, self.edge_cap, G, S
+        )
+        if raw is None:
+            return None
+        # labels stay host-side (variable-width); fill from the graph dicts
+        if self.max_seq_len is not None:
+            y_arr = np.zeros((G, self.max_seq_len), np.int32)
+            for i, g in enumerate(kept):
+                if "y_arr" in g:
+                    y_arr[i] = np.asarray(g["y_arr"], np.int32).reshape(-1)[: self.max_seq_len]
+        else:
+            y_arr = np.zeros((G, 0), np.int32)
+        if self.y_dtype == "int32":
+            y = np.zeros((G,), np.int32)
+            for i, g in enumerate(kept):
+                if g.get("y") is not None:
+                    y[i] = int(np.asarray(g["y"]).reshape(-1)[0])
+        else:
+            y = np.full((G, self.num_tasks), np.nan, np.float32)
+            for i, g in enumerate(kept):
+                if g.get("y") is not None:
+                    arr = np.asarray(g["y"], np.float32).reshape(-1)
+                    y[i, : arr.shape[0]] = arr
+        return GraphBatch(
+            node_feat=raw["node_feat"], node_graph=raw["node_graph"],
+            node_pos=raw["node_pos"], node_mask=raw["node_mask"],
+            node_depth=raw["node_depth"], edge_src=raw["edge_src"],
+            edge_dst=raw["edge_dst"], edge_attr=raw["edge_attr"],
+            edge_mask=raw["edge_mask"], graph_mask=raw["graph_mask"],
+            num_nodes=raw["num_nodes"], y=y, y_arr=y_arr, dense_adj=None,
+            graph_ids=raw["graph_ids"], max_nodes_dense=S,
         )
 
     def __iter__(self):

@@ -87,11 +87,22 @@ class BaseTrainer:
     # ---- host epoch loop ----
     @classmethod
     def train(cls, step_fn, state, loader, rng, log_every: int = 50,
-              log_fn: Optional[Callable] = None):
+              log_fn: Optional[Callable] = None, stats: Optional[dict] = None):
+        """One epoch. Batches arrive as host numpy (degenerate-batch check is
+        free); the loss stays an on-device scalar until the epoch mean, so
+        steps dispatch asynchronously. `stats`, if given, accumulates
+        edges/nodes/graphs processed (throughput counters)."""
         losses = []
         for i, batch in enumerate(loader):
-            if int(batch.node_mask.sum()) <= 1 or int(batch.graph_mask.sum()) <= 1:
+            n_nodes = int(np.asarray(batch.node_mask).sum())
+            n_graphs = int(np.asarray(batch.graph_mask).sum())
+            if n_nodes <= 1 or n_graphs <= 1:
                 continue
+            if stats is not None:
+                stats["edges"] = stats.get("edges", 0) + int(np.asarray(batch.edge_mask).sum())
+                stats["nodes"] = stats.get("nodes", 0) + n_nodes
+                stats["graphs"] = stats.get("graphs", 0) + n_graphs
+                stats["steps"] = stats.get("steps", 0) + 1
             state, loss = step_fn(state, batch, rng)
             losses.append(loss)
             if log_fn is not None and i % log_every == 0:

@@ -27,7 +27,7 @@ from graphtrans_tpu.train.optim import PlateauScheduler, build_optimizer, read_l
 from graphtrans_tpu.train.state import TrainState
 from graphtrans_tpu.trainers import get_trainer_and_parser
 from graphtrans_tpu.utils.config import ConfigArgumentParser
-from graphtrans_tpu.utils.logging import MetricsLogger, Throughput, count_params, logger
+from graphtrans_tpu.utils.logging import MetricsLogger, count_params, logger
 
 
 def build_parser():
@@ -77,6 +77,8 @@ def build_parser():
                        help="enable Pallas fused kernels for the GNN scatter path")
     group.add_argument("--synthetic_num_graphs", type=int, default=400)
     group.add_argument("--synthetic_seed", type=int, default=0)
+    group.add_argument("--profile_dir", type=str, default=None,
+                       help="write a jax.profiler trace of one epoch here")
     return parser
 
 
@@ -238,18 +240,30 @@ def main():
         state = maybe_freeze(state, start_epoch - 1)
         best_val, final_test = 0.0, 0.0
         rng = jax.random.key(seed + 17)
-        thr = Throughput()
         for epoch in range(start_epoch, args.epochs + 1):
             t_ep = time.perf_counter()
-            thr.reset()
-            state, loss = trainer.train(step_fn, state, train_loader, rng)
+            stats: dict = {}
+            prof_ctx = None
+            if args.profile_dir and epoch == start_epoch + 1:
+                from jax import profiler as _jprof
+
+                prof_ctx = _jprof.trace(args.profile_dir)
+                prof_ctx.__enter__()
+            state, loss = trainer.train(step_fn, state, train_loader, rng,
+                                        stats=stats)
+            if prof_ctx is not None:
+                prof_ctx.__exit__(None, None, None)
+                logger.info(f"profiler trace written to {args.profile_dir}")
             state = maybe_freeze(state, epoch)
             lr_now = read_lr(state.opt_state)
+            dt_ep = time.perf_counter() - t_ep
+            eps = stats.get("edges", 0) / max(dt_ep, 1e-9)
             metrics_log.log({"epoch": epoch, f"train/loss-runs{run_id}": loss,
-                             "train/lr": lr_now,
-                             "epoch_seconds": time.perf_counter() - t_ep})
+                             "train/lr": lr_now, "epoch_seconds": dt_ep,
+                             "train/edges_per_s": eps,
+                             "train/graphs_per_s": stats.get("graphs", 0) / max(dt_ep, 1e-9)})
             logger.info(f"Epoch {epoch} loss {loss:.4f} lr {lr_now:.2e} "
-                        f"({time.perf_counter() - t_ep:.1f}s)")
+                        f"({dt_ep:.1f}s, {eps/1e6:.2f}M edges/s)")
 
             valid_perf = None
             if plateau is not None:

@@ -1,0 +1,68 @@
+"""Native C++ batcher parity: identical GraphBatch as the numpy collate."""
+
+import numpy as np
+import pytest
+
+from graphtrans_tpu.data import native
+from graphtrans_tpu.data.loader import GraphLoader
+from graphtrans_tpu.data.synthetic import make_code_dataset, make_mol_dataset, make_tu_dataset
+from graphtrans_tpu.data.vocab import augment_edge, encode_seq_to_arr, get_vocab_mapping
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="libgraph_batcher.so not built"
+)
+
+
+def _batches(graphs, **kw):
+    ln = GraphLoader(graphs, use_native=True, **kw)
+    lp = GraphLoader(graphs, use_native=False, **kw)
+    assert ln.packed is not None, "native path not active"
+    return list(iter(ln)), list(iter(lp))
+
+
+def _assert_equal(bn, bp):
+    import dataclasses
+
+    for f in dataclasses.fields(bn):
+        a, b = getattr(bn, f.name), getattr(bp, f.name)
+        if a is None or isinstance(a, int):
+            assert a == b, f.name
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f.name)
+
+
+@pytest.mark.parametrize("maker,kw", [
+    (make_tu_dataset, dict(batch_size=16)),
+    (make_mol_dataset, dict(batch_size=16, num_tasks=8, y_dtype="float32")),
+])
+def test_native_matches_python(maker, kw):
+    graphs = maker(num_graphs=50, seed=4)
+    kw = dict(kw)
+    nt = kw.pop("num_tasks", 1)
+    yd = kw.pop("y_dtype", "int32")
+    native_batches, python_batches = _batches(graphs, num_tasks=nt, y_dtype=yd, **kw)
+    assert len(native_batches) == len(python_batches)
+    for bn, bp in zip(native_batches, python_batches):
+        _assert_equal(bn, bp)
+
+
+def test_native_code2_with_depth_and_edge_attr():
+    graphs = make_code_dataset(num_graphs=30, seed=1)
+    vocab2idx, _ = get_vocab_mapping([g["y_seq"] for g in graphs], 30)
+    out = []
+    for g in graphs:
+        g = augment_edge(g)
+        g["y_arr"] = encode_seq_to_arr(g["y_seq"], vocab2idx, 5)
+        out.append(g)
+    native_batches, python_batches = _batches(out, batch_size=8, max_seq_len=5)
+    for bn, bp in zip(native_batches, python_batches):
+        _assert_equal(bn, bp)
+
+
+def test_native_truncation():
+    graphs = make_tu_dataset(num_graphs=10, min_nodes=30, max_nodes=60, seed=2)
+    native_batches, python_batches = _batches(
+        graphs, batch_size=4, max_input_len=16
+    )
+    for bn, bp in zip(native_batches, python_batches):
+        _assert_equal(bn, bp)
