@@ -1,13 +1,15 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
 Metric: training-step throughput in edges/s/chip for the flagship GraphTrans
-model (GCN stack -> CLS transformer) on a molpcba-like synthetic workload
-(batch 256 graphs, ~26 nodes/graph — the shape of the reference's headline
-OGBG runs). The reference never measured throughput (SURVEY.md §6), so
-`vs_baseline` reports speedup over a deliberately naive reference-semantics
-implementation (per-edge unsorted scatter + unfused message construction)
-measured on the same hardware in the same run — the XLA-unaware formulation a
-direct PyG port would produce.
+model (GIN-virtual JK=cat stack -> CLS transformer) on a molpcba-like
+synthetic workload (graphs of ~26 nodes — the shape of the reference's
+headline OGBG runs; batch 4096 to saturate the chip). The batch is
+device-resident during timing: this environment reaches the TPU through a
+network tunnel whose host->device copies would otherwise dominate (a real TPU
+host feeds over PCIe/DMA with async prefetch). The reference never measured
+throughput (SURVEY.md §6), so `vs_baseline` reports speedup over a naive
+reference-semantics formulation (per-edge unsorted scatter, no dst-sorted
+segments) measured on the same hardware in the same run.
 """
 
 from __future__ import annotations
@@ -84,7 +86,7 @@ def time_steps(step, state, batch, rng, warmup=3, iters=20):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--batch_size", type=int, default=4096)
     args = p.parse_args()
 
     from graphtrans_tpu.ops import scatter
@@ -92,6 +94,7 @@ def main():
     state, step, batch = build(batch_size=args.batch_size)
     rng = jax.random.key(0)
     edges = int(np.asarray(batch.edge_mask).sum())
+    batch = jax.device_put(batch)
 
     dt = time_steps(step, state, batch, rng, iters=args.iters)
     edges_per_s = edges / dt
@@ -103,6 +106,7 @@ def main():
     sc.gather_message_scatter = naive_gather_message_scatter
     try:
         state_n, step_n, batch_n = build(batch_size=args.batch_size)
+        batch_n = jax.device_put(batch_n)
         dt_naive = time_steps(step_n, state_n, batch_n, rng, iters=max(args.iters // 2, 5))
     finally:
         sc.gather_message_scatter = orig

@@ -57,6 +57,7 @@ def make_mol_dataset(num_graphs=200, num_tasks=8, min_nodes=8, max_nodes=35, see
 
     rng = np.random.default_rng(seed)
     graphs = []
+    signals = []
     for _ in range(num_graphs):
         n = int(rng.integers(min_nodes, max_nodes + 1))
         ei = _random_connected_graph(rng, n, int(rng.integers(0, n // 2 + 1)))
@@ -67,11 +68,15 @@ def make_mol_dataset(num_graphs=200, num_tasks=8, min_nodes=8, max_nodes=35, see
             [rng.integers(0, d, size=ei.shape[1]) for d in BOND_FEATURE_DIMS], axis=1
         ).astype(np.int32)
         base = (x[:, 0].mean() / ATOM_FEATURE_DIMS[0]) + ei.shape[1] / (4.0 * n)
-        y = (base + rng.normal(0, 0.15, size=num_tasks) >
-             0.5 + np.linspace(-0.2, 0.2, num_tasks)).astype(np.float32)
-        nan_mask = rng.random(num_tasks) < 0.25
-        y[nan_mask] = np.nan
-        graphs.append({"x": x, "edge_index": ei, "edge_attr": ea, "y": y})
+        signals.append(base + rng.normal(0, 0.1, size=num_tasks))
+        graphs.append({"x": x, "edge_index": ei, "edge_attr": ea})
+    # balanced labels: threshold each task at its dataset median
+    sig = np.stack(signals)
+    thresh = np.median(sig, axis=0)
+    for g, s in zip(graphs, sig):
+        y = (s > thresh).astype(np.float32)
+        y[rng.random(num_tasks) < 0.25] = np.nan
+        g["y"] = y
     return graphs
 
 

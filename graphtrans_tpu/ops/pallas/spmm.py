@@ -33,8 +33,8 @@ EDGE_TILE = 256
 VMEM_X_LIMIT = 8 * 1024 * 1024
 
 
-def _kernel(block_ptr_ref, src_ref, dst_ref, x_ref, emb_hbm, w_hbm, out_ref,
-            xs_scratch, emb_scratch, w_scratch, sem, *,
+def _kernel(block_ptr_ref, src_ref, x_ref, emb_hbm, w_hbm, dst_hbm, out_ref,
+            xs_scratch, emb_scratch, w_scratch, dst_scratch, sem, *,
             nb: int, et: int, relu: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -58,8 +58,12 @@ def _kernel(block_ptr_ref, src_ref, dst_ref, x_ref, emb_hbm, w_hbm, out_ref,
         w_dma = pltpu.make_async_copy(
             w_hbm.at[pl.ds(s, et), :], w_scratch, sem.at[1]
         )
+        dst_dma = pltpu.make_async_copy(
+            dst_hbm.at[:, pl.ds(s, et)], dst_scratch, sem.at[2]
+        )
         emb_dma.start()
         w_dma.start()
+        dst_dma.start()
 
         def gather_row(j, _):
             @pl.when((s + j >= start) & (s + j < end))
@@ -72,6 +76,7 @@ def _kernel(block_ptr_ref, src_ref, dst_ref, x_ref, emb_hbm, w_hbm, out_ref,
 
         emb_dma.wait()
         w_dma.wait()
+        dst_dma.wait()
 
         msg = xs_scratch[:] + emb_scratch[:]
         if relu:
@@ -81,7 +86,7 @@ def _kernel(block_ptr_ref, src_ref, dst_ref, x_ref, emb_hbm, w_hbm, out_ref,
         # within-block scatter as MXU matmul: one_hot[nb, et] @ msg[et, d]
         eidx = jax.lax.broadcasted_iota(jnp.int32, (1, et), 1) + s
         valid = (eidx >= start) & (eidx < end)
-        dst_tile = dst_ref[pl.ds(s, et)].reshape(1, et) - base
+        dst_tile = dst_scratch[:] - base
         rows = jax.lax.broadcasted_iota(jnp.int32, (nb, et), 0)
         one_hot = jnp.where(valid & (dst_tile == rows), 1.0, 0.0)
         out_ref[:] += jax.lax.dot_general(
@@ -123,13 +128,14 @@ def gather_message_scatter(x, edge_emb, edge_src, edge_dst, edge_mask,
     ).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # block_ptr, src, dst
+        num_scalar_prefetch=2,  # block_ptr, src (scalar loads only)
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((N, d), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),          # x resident
+                         memory_space=pltpu.VMEM),       # x resident
             pl.BlockSpec(memory_space=pl.ANY),           # emb (HBM)
             pl.BlockSpec(memory_space=pl.ANY),           # w (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),           # dst as [1, E] (HBM)
         ],
         out_specs=pl.BlockSpec((NODE_BLOCK, d), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -137,7 +143,8 @@ def gather_message_scatter(x, edge_emb, edge_src, edge_dst, edge_mask,
             pltpu.VMEM((EDGE_TILE, d), jnp.float32),  # gathered rows
             pltpu.VMEM((EDGE_TILE, d), jnp.float32),  # emb tile
             pltpu.VMEM((EDGE_TILE, 1), jnp.float32),  # weight tile
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((1, EDGE_TILE), jnp.int32),    # dst tile
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
 
@@ -149,6 +156,7 @@ def gather_message_scatter(x, edge_emb, edge_src, edge_dst, edge_mask,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, d), jnp.float32),
         interpret=interpret,
-    )(block_ptr, edge_src.astype(jnp.int32), edge_dst.astype(jnp.int32),
-      x.astype(jnp.float32), edge_emb.astype(jnp.float32), w2d)
+    )(block_ptr, edge_src.astype(jnp.int32),
+      x.astype(jnp.float32), edge_emb.astype(jnp.float32), w2d,
+      edge_dst.astype(jnp.int32).reshape(1, E))
     return out.astype(x.dtype)

@@ -47,7 +47,10 @@ def segment_max(data, segment_ids, num_segments, mask=None, initial=None):
         data = jnp.where(_expand(mask, data), data, neg)
     out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
     fill = 0 if initial is None else initial
-    return jnp.where(out == neg, fill, out)
+    # empty segments come back as the reduction identity (-inf), fully-masked
+    # segments as the sentinel — replace both (inf would NaN the backward
+    # pass through downstream multiplications)
+    return jnp.where((out == neg) | ~jnp.isfinite(out), fill, out)
 
 
 def segment_min(data, segment_ids, num_segments, mask=None, initial=None):
@@ -56,7 +59,7 @@ def segment_min(data, segment_ids, num_segments, mask=None, initial=None):
         data = jnp.where(_expand(mask, data), data, pos)
     out = jax.ops.segment_min(data, segment_ids, num_segments=num_segments)
     fill = 0 if initial is None else initial
-    return jnp.where(out == pos, fill, out)
+    return jnp.where((out == pos) | ~jnp.isfinite(out), fill, out)
 
 
 def segment_count(segment_ids, num_segments, mask=None, dtype=jnp.float32):

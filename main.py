@@ -153,6 +153,17 @@ def main():
 
     bundle = dataset_util.preprocess(args, model_cls, seed=args.seed)
     calc_loss = dataset_util.loss_fn(bundle.task_type)
+
+    # trainer data transform (None for baseline/flag). Reference semantics:
+    # the transform applies to the train/test dataset copy but NOT the valid
+    # copy, and degree histograms come from the untransformed data
+    # (/root/reference/main.py:126-131 two-dataset trick) — preprocess() has
+    # already computed `deg` by the time we transform here.
+    data_transform = trainer.transform(args)
+    if data_transform is not None:
+        for split in ("train", "test"):
+            bundle.splits[split] = [data_transform(g) for g in bundle.splits[split]]
+
     loaders = make_loaders(bundle, args, num_shards=args.dp_shards)
 
     def run(run_id):

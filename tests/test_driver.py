@@ -1,0 +1,89 @@
+"""End-to-end driver tests: invoke main.main() programmatically (synthetic
+datasets, CPU). Covers the full CLI surface: config loading, registry
+staging, train/eval/checkpoint/resume, seq-head dataset, pretrained-GNN."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def run_main(tmp_path, argv):
+    import main as driver
+
+    old = sys.argv
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        sys.argv = ["main.py"] + argv
+        return driver.main()
+    finally:
+        sys.argv = old
+        os.chdir(cwd)
+
+
+SMALL = ["--gnn_num_layer", "2", "--gnn_emb_dim", "16", "--d_model", "16",
+         "--num_encoder_layers", "1", "--dim_feedforward", "32",
+         "--epochs", "2", "--runs", "1", "--batch_size", "16",
+         "--synthetic_num_graphs", "50", "--start-eval", "0"]
+
+
+def test_driver_nci1_e2e(tmp_path):
+    val, test = run_main(tmp_path, [
+        "--dataset", "NCI1", "--model_type", "gnn-transformer",
+        "--graph_pooling", "cls", "--scheduler", "cosine"] + SMALL)
+    assert 0.0 <= val <= 1.0
+    exps = list((tmp_path / "exps").iterdir())
+    assert exps, "no experiment dir written"
+    run_dir = exps[0] / "0"
+    assert (run_dir / "last_model.ckpt").exists()
+    assert (run_dir / "best_model.ckpt").exists()
+    metrics = (exps[0] / "metrics.jsonl").read_text().strip().splitlines()
+    recs = [json.loads(l) for l in metrics]
+    assert any("train/loss-runs0" in r for r in recs)
+
+
+def test_driver_code2_seq_head(tmp_path):
+    val, test = run_main(tmp_path, [
+        "--dataset", "ogbg-code2", "--model_type", "gnn-transformer",
+        "--graph_pooling", "cls", "--gnn_virtual_node", "--gnn_JK", "cat",
+        "--num_vocab", "40"] + SMALL)
+    assert 0.0 <= val <= 1.0
+
+
+def test_driver_molpcba_plateau(tmp_path):
+    val, test = run_main(tmp_path, [
+        "--dataset", "ogbg-molpcba", "--model_type", "gnn-transformer",
+        "--gnn_type", "gin", "--graph_pooling", "cls",
+        "--scheduler", "plateau"] + SMALL)
+    assert 0.0 <= val <= 1.0
+
+
+def test_driver_pna(tmp_path):
+    # pna registers no transformer flag group — plain GNN-side flags only
+    args = ["--gnn_num_layer", "2", "--gnn_emb_dim", "16",
+            "--epochs", "2", "--runs", "1", "--batch_size", "16",
+            "--synthetic_num_graphs", "50", "--start-eval", "0"]
+    val, test = run_main(tmp_path, [
+        "--dataset", "ogbg-molpcba", "--model_type", "pna",
+        "--graph_pooling", "mean"] + args)
+    assert 0.0 <= val <= 1.0
+
+
+def test_driver_pretrained_gnn(tmp_path):
+    # 1) train a plain GNN (no transformer flag group) and keep its checkpoint
+    gnn_small = ["--gnn_num_layer", "2", "--gnn_emb_dim", "16",
+                 "--epochs", "2", "--runs", "1", "--batch_size", "16",
+                 "--synthetic_num_graphs", "50", "--start-eval", "0"]
+    run_main(tmp_path, ["--dataset", "NCI1", "--model_type", "gnn",
+                        "--graph_pooling", "mean", "--seed", "7"] + gnn_small)
+    exps = sorted((tmp_path / "exps").iterdir())
+    ckpt = str(exps[0] / "0" / "best_model.ckpt")
+    # 2) warm-start the flagship from it
+    val, test = run_main(tmp_path, [
+        "--dataset", "NCI1", "--model_type", "gnn-transformer",
+        "--graph_pooling", "cls", "--pretrained_gnn", ckpt,
+        "--freeze_gnn", "1", "--seed", "7"] + SMALL)
+    assert 0.0 <= val <= 1.0

@@ -62,3 +62,20 @@ def test_degrees():
     em = jnp.array([True, True, True, True, False])
     np.testing.assert_allclose(np.asarray(segment.out_degree(src, 4, em)), [2, 1, 1, 0])
     np.testing.assert_allclose(np.asarray(segment.in_degree(dst, 4, em)), [1, 3, 0, 0])
+
+
+def test_segment_max_min_empty_segments_grads():
+    """Regression: jax.ops.segment_max returns -inf for EMPTY segments (not
+    the mask sentinel); the fill replacement must catch both or backward
+    passes NaN (inf * 0)."""
+    import jax
+
+    data = jnp.array([[1.0], [2.0]])
+    ids = jnp.array([0, 0])
+    mask = jnp.array([True, True])
+
+    for fn in (segment.segment_max, segment.segment_min):
+        out = fn(data, ids, 4, mask=mask)  # segments 1..3 are empty
+        assert np.all(np.isfinite(np.asarray(out)))
+        g = jax.grad(lambda d: jnp.sum(fn(d, ids, 4, mask=mask) ** 2))(data)
+        assert np.all(np.isfinite(np.asarray(g)))
