@@ -21,6 +21,7 @@ def masked_mean(x, mask):
 
 
 def softmax_cross_entropy(logits, labels):
+    logits = logits.astype(jnp.float32)
     logz = jax.nn.logsumexp(logits, axis=-1)
     gold = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
     return logz - gold

@@ -22,6 +22,23 @@ import optax
 from ..train.state import TrainState, zero_subtree_where
 
 
+def make_param_cast(args):
+    """Identity for f32; bf16 down-cast of float params for --precision bf16."""
+    import jax.numpy as jnp
+
+    if getattr(args, "precision", "f32") != "bf16":
+        return lambda p: p
+
+    def cast(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree,
+        )
+
+    return cast
+
+
 def apply_update(state: TrainState, grads, new_bs, loss, tx, gnn_subtree: str):
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     updates = zero_subtree_where(state.freeze_gnn_active, updates, gnn_subtree)
@@ -51,14 +68,20 @@ class BaseTrainer:
 
     @staticmethod
     def make_grad_fn(model, calc_loss: Callable, args) -> Callable:
-        """Returns fn(state, batch, rng) -> (grads, new_batch_stats, loss)."""
+        """Returns fn(state, batch, rng) -> (grads, new_batch_stats, loss).
+
+        Mixed precision (--precision bf16): master params stay f32; the
+        forward runs on a bf16 copy (MXU native dtype on TPU), autodiff
+        through the cast yields f32 gradients; losses and BN statistics
+        compute in f32."""
+        cast = make_param_cast(args)
 
         def grad_fn(state: TrainState, batch, rng):
             rng = jax.random.fold_in(rng, state.step)
 
             def loss_fn(params):
                 out, mut = model.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
+                    {"params": cast(params), "batch_stats": state.batch_stats},
                     batch, None, True,
                     rngs={"dropout": rng},
                     mutable=["batch_stats"],

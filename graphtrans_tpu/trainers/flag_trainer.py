@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..train.state import TrainState
 from . import register_trainer
-from .base_trainer import BaseTrainer, apply_update
+from .base_trainer import BaseTrainer, apply_update, make_param_cast
 
 
 @register_trainer("flag")
@@ -44,6 +44,7 @@ class FlagTrainer(BaseTrainer):
         step_size = args.step_size
         m_steps = args.m
         emb_dim = args.gnn_emb_dim
+        cast = make_param_cast(args)
 
         def grad_fn(state: TrainState, batch, rng):
             rng = jax.random.fold_in(rng, state.step)
@@ -55,7 +56,7 @@ class FlagTrainer(BaseTrainer):
 
             def loss_fn(params, perturb, batch_stats, drop_rng):
                 out, mut = model.apply(
-                    {"params": params, "batch_stats": batch_stats},
+                    {"params": cast(params), "batch_stats": batch_stats},
                     batch, perturb, True,
                     rngs={"dropout": drop_rng},
                     mutable=["batch_stats"],

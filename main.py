@@ -79,6 +79,10 @@ def build_parser():
     group.add_argument("--synthetic_seed", type=int, default=0)
     group.add_argument("--profile_dir", type=str, default=None,
                        help="write a jax.profiler trace of one epoch here")
+    group.add_argument("--precision", type=str, default="f32",
+                       choices=["f32", "bf16"],
+                       help="bf16: forward/backward in bfloat16 with f32 "
+                            "master params, losses and BN stats in f32")
     return parser
 
 

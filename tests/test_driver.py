@@ -87,3 +87,22 @@ def test_driver_pretrained_gnn(tmp_path):
         "--graph_pooling", "cls", "--pretrained_gnn", ckpt,
         "--freeze_gnn", "1", "--seed", "7"] + SMALL)
     assert 0.0 <= val <= 1.0
+
+
+def test_driver_multiseed_resplit(tmp_path):
+    """--runs 2 on a TU dataset: per-run re-split and mean/std aggregation."""
+    val, test = run_main(tmp_path, [
+        "--dataset", "NCI1", "--model_type", "gnn-transformer",
+        "--graph_pooling", "cls", "--gnn_num_layer", "2",
+        "--gnn_emb_dim", "16", "--d_model", "16", "--num_encoder_layers", "1",
+        "--dim_feedforward", "32", "--epochs", "1", "--runs", "2",
+        "--batch_size", "16", "--synthetic_num_graphs", "40",
+        "--start-eval", "0", "--seed", "3"])
+    assert 0.0 <= val <= 1.0
+
+
+def test_driver_bf16(tmp_path):
+    val, test = run_main(tmp_path, [
+        "--dataset", "NCI1", "--model_type", "gnn-transformer",
+        "--graph_pooling", "cls", "--precision", "bf16"] + SMALL)
+    assert 0.0 <= val <= 1.0
