@@ -110,22 +110,31 @@ class BaseTrainer:
     # ---- host epoch loop ----
     @classmethod
     def train(cls, step_fn, state, loader, rng, log_every: int = 50,
-              log_fn: Optional[Callable] = None, stats: Optional[dict] = None):
-        """One epoch. Batches arrive as host numpy (degenerate-batch check is
-        free); the loss stays an on-device scalar until the epoch mean, so
-        steps dispatch asynchronously. `stats`, if given, accumulates
-        edges/nodes/graphs processed (throughput counters)."""
+              log_fn: Optional[Callable] = None, stats: Optional[dict] = None,
+              prefetch: int = 2):
+        """One epoch. The degenerate-batch check and throughput counters run
+        on the HOST numpy batch; a worker thread then device_puts upcoming
+        batches (`prefetch` in flight) so H2D transfer overlaps the current
+        step, and the loss stays an on-device scalar until the epoch mean —
+        steps dispatch asynchronously."""
+        from ..data.prefetch import device_prefetch
+
+        def host_side():
+            for i, batch in enumerate(loader):
+                n_nodes = int(np.asarray(batch.node_mask).sum())
+                n_graphs = int(np.asarray(batch.graph_mask).sum())
+                if n_nodes <= 1 or n_graphs <= 1:
+                    continue
+                if stats is not None:
+                    stats["edges"] = stats.get("edges", 0) + int(np.asarray(batch.edge_mask).sum())
+                    stats["nodes"] = stats.get("nodes", 0) + n_nodes
+                    stats["graphs"] = stats.get("graphs", 0) + n_graphs
+                    stats["steps"] = stats.get("steps", 0) + 1
+                yield batch
+
         losses = []
-        for i, batch in enumerate(loader):
-            n_nodes = int(np.asarray(batch.node_mask).sum())
-            n_graphs = int(np.asarray(batch.graph_mask).sum())
-            if n_nodes <= 1 or n_graphs <= 1:
-                continue
-            if stats is not None:
-                stats["edges"] = stats.get("edges", 0) + int(np.asarray(batch.edge_mask).sum())
-                stats["nodes"] = stats.get("nodes", 0) + n_nodes
-                stats["graphs"] = stats.get("graphs", 0) + n_graphs
-                stats["steps"] = stats.get("steps", 0) + 1
+        it = device_prefetch(host_side(), size=prefetch) if prefetch else host_side()
+        for i, batch in enumerate(it):
             state, loss = step_fn(state, batch, rng)
             losses.append(loss)
             if log_fn is not None and i % log_every == 0:

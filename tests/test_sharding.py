@@ -119,3 +119,24 @@ def test_dp_eval_matches_single(rng):
     assert out.shape == (34, 2)
     ref0 = model.apply(variables, shard_batches[0], None, False)
     np.testing.assert_allclose(out[:17], np.asarray(ref0), rtol=1e-5, atol=1e-6)
+
+
+def test_edge_parallel_spmm_matches_single(rng):
+    from graphtrans_tpu.ops import scatter
+    from graphtrans_tpu.parallel.edge_parallel import make_edge_parallel_spmm
+
+    N, E, d = 256, 1024, 64
+    x = jnp.asarray(rng.standard_normal((N, d)).astype(np.float32))
+    emb = jnp.asarray(rng.standard_normal((E, d)).astype(np.float32))
+    src = jnp.asarray(rng.integers(0, N, size=E).astype(np.int32))
+    dst = jnp.asarray(np.sort(rng.integers(0, N, size=E)).astype(np.int32))
+    mask = jnp.asarray(rng.random(E) > 0.2)
+    w = jnp.asarray(rng.standard_normal(E).astype(np.float32))
+
+    ref = scatter.gather_message_scatter(x, emb, src, dst, mask, N,
+                                         edge_weight=w)
+    for shards in (2, 4, 8):
+        fn = make_edge_parallel_spmm(shards)
+        got = fn(x, emb, src, dst, mask, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
