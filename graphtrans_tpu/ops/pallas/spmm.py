@@ -56,7 +56,7 @@ def _kernel(block_ptr_ref, src_ref, x_ref, emb_hbm, w_hbm, dst_hbm, out_ref,
             emb_hbm.at[pl.ds(s, et), :], emb_scratch, sem.at[0]
         )
         w_dma = pltpu.make_async_copy(
-            w_hbm.at[pl.ds(s, et), :], w_scratch, sem.at[1]
+            w_hbm.at[:, pl.ds(s, et)], w_scratch, sem.at[1]
         )
         dst_dma = pltpu.make_async_copy(
             dst_hbm.at[:, pl.ds(s, et)], dst_scratch, sem.at[2]
@@ -81,14 +81,15 @@ def _kernel(block_ptr_ref, src_ref, x_ref, emb_hbm, w_hbm, dst_hbm, out_ref,
         msg = xs_scratch[:] + emb_scratch[:]
         if relu:
             msg = jnp.maximum(msg, 0)
-        msg = msg * w_scratch[:]
 
-        # within-block scatter as MXU matmul: one_hot[nb, et] @ msg[et, d]
+        # within-block scatter as MXU matmul: (one_hot * w)[nb, et] @ msg[et, d]
+        # — the per-edge weight (incl. the validity mask) rides the one-hot
+        # row, applied exactly once per edge, in lane-major [1, et] layout.
         eidx = jax.lax.broadcasted_iota(jnp.int32, (1, et), 1) + s
         valid = (eidx >= start) & (eidx < end)
         dst_tile = dst_scratch[:] - base
         rows = jax.lax.broadcasted_iota(jnp.int32, (nb, et), 0)
-        one_hot = jnp.where(valid & (dst_tile == rows), 1.0, 0.0)
+        one_hot = jnp.where(valid & (dst_tile == rows), w_scratch[:], 0.0)
         out_ref[:] += jax.lax.dot_general(
             one_hot, msg,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -119,7 +120,7 @@ def gather_message_scatter(x, edge_emb, edge_src, edge_dst, edge_mask,
     w = edge_mask.astype(jnp.float32)
     if edge_weight is not None:
         w = w * edge_weight.astype(jnp.float32)
-    w2d = w[:, None]
+    w2d = w.reshape(1, E)  # lane-major (Mosaic slice tiling: last dim % 128)
 
     nblocks = N // NODE_BLOCK
     boundaries = jnp.arange(0, N + NODE_BLOCK, NODE_BLOCK, dtype=jnp.int32)
@@ -142,7 +143,7 @@ def gather_message_scatter(x, edge_emb, edge_src, edge_dst, edge_mask,
         scratch_shapes=[
             pltpu.VMEM((EDGE_TILE, d), jnp.float32),  # gathered rows
             pltpu.VMEM((EDGE_TILE, d), jnp.float32),  # emb tile
-            pltpu.VMEM((EDGE_TILE, 1), jnp.float32),  # weight tile
+            pltpu.VMEM((1, EDGE_TILE), jnp.float32),  # weight tile
             pltpu.VMEM((1, EDGE_TILE), jnp.int32),    # dst tile
             pltpu.SemaphoreType.DMA((3,)),
         ],

@@ -58,3 +58,16 @@ def test_spmm_empty_blocks(rng):
     ref = scatter.gather_message_scatter(x, emb, src, dst, mask, N)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
     assert np.all(np.asarray(got)[256:] == 0)
+
+
+def test_scatter_mxu_kernel_matches_xla(rng):
+    from graphtrans_tpu.ops import segment
+    from graphtrans_tpu.ops.pallas import scatter_mxu
+
+    N, E, d = 512, 1024, 128
+    msg = jnp.asarray(rng.standard_normal((E, d)).astype(np.float32))
+    dst = jnp.asarray(np.sort(rng.integers(0, N, size=E)).astype(np.int32))
+    got = scatter_mxu.segment_sum_mxu(msg, dst, N, interpret=True)
+    assert got is not None
+    ref = segment.segment_sum(msg, dst, N)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
