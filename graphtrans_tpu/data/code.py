@@ -149,7 +149,10 @@ class CodeUtil:
                 out.append(g)
             transformed[split] = out
 
-        emb_dim = model_cls.get_emb_dim(args) if model_cls else args.gnn_emb_dim
+        # reference quirk: the AST encoder is ALWAYS sized gnn_emb_dim
+        # (code.py:111), even for the transformer-only model — published
+        # configs keep gnn_emb_dim == d_model for that case
+        emb_dim = args.gnn_emb_dim
         return DatasetBundle(
             splits=transformed,
             num_tasks=len(vocab2idx),

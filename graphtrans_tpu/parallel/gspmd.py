@@ -1,0 +1,78 @@
+"""GSPMD (jit + sharding-annotation) training path: DP x TP on one mesh.
+
+Complements the shard_map DP path (parallel/dp.py): here the batch stays a
+single logical array sharded over 'data', and transformer weight matrices are
+sharded over 'model' (megatron-style: the FF up-projection and the fused QKV
+projection split their OUTPUT feature dim; the FF down-projection and the
+attention output projection split their INPUT dim, so the pair contracts to
+one psum that XLA inserts automatically). Everything else — gradient
+all-reduce over 'data', BatchNorm statistics (logically-global reductions),
+segment ops over sharded edges — falls out of GSPMD's global-semantics
+compilation; no hand-written collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..trainers.base_trainer import apply_update
+
+
+def transformer_param_spec(path_tuple) -> P:
+    """Sharding rule keyed on parameter path (megatron split for the
+    attention/FF matmul pairs; everything else replicated)."""
+    keys = [getattr(k, "key", str(k)) for k in path_tuple]
+    path = "/".join(str(k) for k in keys)
+    leaf = keys[-1] if keys else ""
+    if "MultiheadSelfAttention" in path:
+        if leaf == "in_proj":
+            return P(None, "model")
+        if leaf == "in_proj_bias":
+            return P("model")
+        if leaf == "out_proj":
+            return P("model", None)
+    if "layer_" in path and "TDense_0" in path and leaf == "kernel":
+        return P(None, "model")  # FF up-projection [d, ff]
+    if "layer_" in path and "TDense_0" in path and leaf == "bias":
+        return P("model")
+    if "layer_" in path and "TDense_1" in path and leaf == "kernel":
+        return P("model", None)  # FF down-projection [ff, d]
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    def place(path, x):
+        return jax.device_put(x, NamedSharding(mesh, transformer_param_spec(path)))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def batch_spec(batch, mesh: Mesh):
+    """Shard every leading batch axis over 'data' (node/edge/graph arrays all
+    divide evenly: capacities are bucketed in multiples of large powers of
+    two)."""
+    def spec(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % mesh.shape["data"] == 0:
+            return NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, batch)
+
+
+def make_gspmd_train_step(trainer, model, calc_loss, tx, args,
+                          gnn_subtree: str, mesh: Mesh) -> Callable:
+    grad_fn = trainer.make_grad_fn(model, calc_loss, args)
+
+    def train_step(state, batch, rng):
+        grads, new_bs, loss = grad_fn(state, batch, rng)
+        return apply_update(state, grads, new_bs, loss, tx, gnn_subtree)
+
+    return jax.jit(train_step)
+
+
+def place_batch(batch, mesh: Mesh):
+    return jax.device_put(batch, batch_spec(batch, mesh))
