@@ -59,6 +59,7 @@ def _kernel(block_ptr_ref, msg_hbm, dst_hbm, out_ref,
             one_hot, msg_scratch[slot],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return 0
 

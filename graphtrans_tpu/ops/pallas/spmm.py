@@ -94,6 +94,7 @@ def _kernel(block_ptr_ref, src_ref, x_ref, emb_hbm, w_hbm, dst_hbm, out_ref,
             one_hot, msg,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return 0
 

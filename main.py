@@ -114,6 +114,10 @@ def make_loaders(bundle, args, num_shards=1):
 def main():
     import jax
 
+    from graphtrans_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     parser = build_parser()
     args, _ = parser.parse_known_args()
 
