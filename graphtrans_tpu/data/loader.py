@@ -84,6 +84,13 @@ class GraphLoader:
             n, e = g["x"].shape[0], g["edge_index"].shape[1]
             if n > self.node_cap or e > self.edge_cap:
                 if self.drop_overflow:
+                    # never silently narrow coverage (SURVEY "no silent caps")
+                    from ..utils.logging import logger
+
+                    logger.warning(
+                        f"dropping graph id={g.get('_id')} ({n} nodes/{e} edges) "
+                        f"exceeding caps ({self.node_cap}/{self.edge_cap})"
+                    )
                     continue
                 raise ValueError("graph exceeds fixed caps")
             if n_tot + n > self.node_cap or e_tot + e > self.edge_cap:

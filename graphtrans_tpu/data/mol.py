@@ -89,7 +89,7 @@ class MolUtil:
         return losses.regression_loss
 
     @staticmethod
-    def eval(forward_fn, loader, metric="ap"):
+    def eval(forward_fn, loader):
         y_true, y_pred = [], []
         for batch in loader:
             pred = np.asarray(forward_fn(batch))
@@ -100,10 +100,10 @@ class MolUtil:
             y_pred.append(pred[mask])
             y_true.append(y[mask])
         if not y_true:
-            return {metric: 0.0}
+            return {"ap": 0.0, "rocauc": 0.0}
         y_true = np.concatenate(y_true)
         y_pred = np.concatenate(y_pred)
-        return eval_ap(y_true, y_pred) if metric == "ap" else eval_rocauc(y_true, y_pred)
+        return {**eval_ap(y_true, y_pred), **eval_rocauc(y_true, y_pred)}
 
     @staticmethod
     def preprocess(args, model_cls=None, seed=None):

@@ -68,32 +68,3 @@ def count_params(tree) -> int:
     import numpy as np
 
     return int(sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(tree)))
-
-
-class Throughput:
-    """edges/s / nodes/s / graphs/s counters for the BASELINE metric."""
-
-    def __init__(self):
-        self.reset()
-
-    def reset(self):
-        self.edges = 0
-        self.nodes = 0
-        self.graphs = 0
-        self.t0 = time.perf_counter()
-
-    def add(self, batch):
-        import numpy as np
-
-        self.edges += int(np.asarray(batch.edge_mask).sum())
-        self.nodes += int(np.asarray(batch.node_mask).sum())
-        self.graphs += int(np.asarray(batch.graph_mask).sum())
-
-    def rates(self) -> dict:
-        dt = max(time.perf_counter() - self.t0, 1e-9)
-        return {
-            "edges_per_s": self.edges / dt,
-            "nodes_per_s": self.nodes / dt,
-            "graphs_per_s": self.graphs / dt,
-            "seconds": dt,
-        }
