@@ -63,6 +63,7 @@ class GNNTransformerModule(nn.Module):
     max_seq_len: Optional[int] = None
     pos_encoder: bool = False
     bn_axis_name: Optional[str] = None
+    sp_axis: Optional[str] = None  # sequence-parallel mesh axis (GSPMD mode)
 
     def setup(self):
         self.gnn_node = GNNNodeEmbedding(
@@ -98,6 +99,7 @@ class GNNTransformerModule(nn.Module):
             num_layers=self.num_encoder_layers,
             norm_input=self.transformer_norm_input,
             use_cls=self.graph_pooling == "cls",
+            sp_axis=self.sp_axis,
         )
         self.head = PredictionHead(self.num_tasks, self.max_seq_len)
 
@@ -183,4 +185,5 @@ class GNNTransformer(ModelSpec):
             max_seq_len=args.max_seq_len,
             pos_encoder=args.pos_encoder,
             bn_axis_name=getattr(args, "bn_axis_name", None),
+            sp_axis=getattr(args, "sp_axis", None),
         )

@@ -104,6 +104,22 @@ class TransformerNodeEncoder(nn.Module):
     num_layers: int = 4
     norm_input: bool = False
     use_cls: bool = False
+    # sequence-parallel axis: shard the node/sequence dimension of the dense
+    # activations over this mesh axis (GSPMD inserts the K/V all-gathers the
+    # attention needs). Requires running under jax.sharding.set_mesh.
+    sp_axis: str = None
+
+    def _sp(self, dense):
+        if self.sp_axis is None:
+            return dense
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is None or mesh.empty or self.sp_axis not in mesh.axis_names:
+            return dense  # no mesh context (e.g. init time): no-op
+        from jax.sharding import PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            dense, P(None, self.sp_axis, None)
+        )
 
     @nn.compact
     def __call__(self, dense, valid, training: bool):
@@ -116,11 +132,13 @@ class TransformerNodeEncoder(nn.Module):
             valid = jnp.concatenate([valid, jnp.ones((B, 1), bool)], axis=1)
         if self.norm_input:
             dense = nn.LayerNorm(name="norm_input")(dense)
+        dense = self._sp(dense)
         for i in range(self.num_layers):
             dense = TransformerEncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
                 self.activation, name=f"layer_{i}",
             )(dense, valid, training)
+            dense = self._sp(dense)
         dense = nn.LayerNorm(name="final_norm")(dense)
         return dense, valid
 

@@ -71,7 +71,15 @@ def make_gspmd_train_step(trainer, model, calc_loss, tx, args,
         grads, new_bs, loss = grad_fn(state, batch, rng)
         return apply_update(state, grads, new_bs, loss, tx, gnn_subtree)
 
-    return jax.jit(train_step)
+    jitted = jax.jit(train_step)
+
+    def run(state, batch, rng):
+        # set_mesh makes bare-PartitionSpec sharding constraints (the model's
+        # sequence-parallel annotations) resolve against this mesh
+        with jax.sharding.set_mesh(mesh):
+            return jitted(state, batch, rng)
+
+    return run
 
 
 def place_batch(batch, mesh: Mesh):

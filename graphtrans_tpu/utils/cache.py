@@ -10,6 +10,14 @@ import os
 def enable_compilation_cache(path: str = None):
     import jax
 
+    try:
+        if jax.default_backend() == "cpu":
+            # CPU AOT executables from the remote compile service carry
+            # machine features this host lacks (SIGILL risk) — cache only
+            # the expensive tunnel-compiled TPU executables.
+            return
+    except Exception:
+        return
     path = path or os.path.expanduser("~/.cache/graphtrans_tpu_xla")
     os.makedirs(path, exist_ok=True)
     try:

@@ -187,3 +187,34 @@ def test_gspmd_dp_tp_step(rng):
     for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
                     jax.tree_util.tree_leaves(s_new.params)):
         assert np.max(np.abs(np.asarray(a) - np.asarray(b))) <= 2 * args.lr + 1e-6
+
+
+def test_gspmd_sequence_parallel(rng):
+    """sp: dense transformer activations sharded along the node/sequence axis
+    over 'model'; output must match the unsharded forward."""
+    from graphtrans_tpu.parallel import gspmd
+    from graphtrans_tpu.parallel.mesh import make_mesh
+
+    graphs = make_tu_dataset(num_graphs=16, min_nodes=20, max_nodes=40, seed=8)
+    batch = collate(graphs, 17, 1024, 4096)
+    base = default_args(gnn_dropout=0.0, transformer_dropout=0.0)
+    base.bn_axis_name = None
+    model_plain = MODELS["gnn-transformer"].build(2, base, LinearNodeEncoder(16),
+                                                  ZeroEdgeEncoder)
+    variables = model_plain.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, None, False,
+    )
+    ref = model_plain.apply(variables, batch, None, False)
+
+    sp = default_args(gnn_dropout=0.0, transformer_dropout=0.0)
+    sp.bn_axis_name = None
+    sp.sp_axis = "model"
+    model_sp = MODELS["gnn-transformer"].build(2, sp, LinearNodeEncoder(16),
+                                               ZeroEdgeEncoder)
+    mesh = make_mesh(dp=2, tp=4)
+    with jax.sharding.set_mesh(mesh):
+        out = jax.jit(lambda v, b: model_sp.apply(v, b, None, False))(
+            variables, gspmd.place_batch(batch, mesh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
