@@ -66,9 +66,8 @@ def build(batch_size=256, nodes_per=26, emb=256, seed=0):
                           gnn_emb_dim=emb, d_model=128, gnn_dropout=0.3)
     model = MODELS["gnn-transformer"].build(
         128, args, AtomEncoder(emb), lambda e: BondEncoder(e))
-    variables = model.init(
-        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
-        batch, None, False,
+    variables = jax.jit(lambda r, b: model.init(r, b, None, False))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch,
     )
     tx, _ = build_optimizer(args, 100)
     state = TrainState.create(variables["params"], variables.get("batch_stats", {}),

@@ -195,10 +195,12 @@ def main():
         )))
         seed = (args.seed or 0) * 1000 + run_id
         init_rng = jax.random.key(seed)
-        variables = model.init(
+        # jit the init: eager init dispatches thousands of tiny ops
+        # (painfully slow through a networked device)
+        variables = jax.jit(lambda r, b: model.init(r, b, None, False))(
             {"params": jax.random.fold_in(init_rng, 0),
              "dropout": jax.random.fold_in(init_rng, 1)},
-            sample, None, False,
+            sample,
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
