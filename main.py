@@ -252,11 +252,27 @@ def main():
                 state = state.replace(freeze_gnn_active=jnp.ones((), bool))
             return state
 
+        class PrefetchedLoader:
+            """Iterates a GraphLoader with device prefetch (overlap H2D with
+            eval compute); passes attribute access through (CodeUtil reads
+            loader.graphs for gold sequences)."""
+
+            def __init__(self, inner):
+                self._inner = inner
+
+            def __iter__(self):
+                from graphtrans_tpu.data.prefetch import device_prefetch
+
+                return device_prefetch(iter(self._inner), size=2)
+
+            def __getattr__(self, name):
+                return getattr(self._inner, name)
+
         def run_eval(loader):
             def forward(batch):
                 return fwd(state.params, state.batch_stats, batch)
 
-            return dataset_util.eval(forward, loader)
+            return dataset_util.eval(forward, PrefetchedLoader(loader))
 
         state = maybe_freeze(state, start_epoch - 1)
         best_val, final_test = 0.0, 0.0
