@@ -203,3 +203,82 @@ def test_gin_conv_matches_torch(rng):
     theirs = lin2(torch.relu(bn(lin1(z))))
     np.testing.assert_allclose(np.asarray(ours)[batch.node_mask], t2n(theirs),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_virtualnode_gnn_stack_matches_torch(rng):
+    """Full GIN-virtual stack, JK=cat, eval mode: independent torch
+    implementation of the documented layer/VN ordering
+    (SURVEY §2.5 / gnn_module.py:111-241) with copied weights."""
+    from graphtrans_tpu.data.batch import collate
+    from graphtrans_tpu.nn.encoders import ZeroEdgeEncoder
+    from graphtrans_tpu.nn.gnn import GNNNodeEmbedding
+    from tests.conftest import make_random_graph
+
+    d, L = 8, 3
+    graphs = [make_random_graph(rng, 7, 16, feat_dim=d),
+              make_random_graph(rng, 5, 10, feat_dim=d)]
+    batch = collate(graphs, 3, 16, 64)
+    h0 = rng.standard_normal((16, d)).astype(np.float32)
+    h0[~batch.node_mask] = 0
+    b2 = batch.__class__(**{
+        **{f.name: getattr(batch, f.name) for f in __import__("dataclasses").fields(batch)},
+        "node_feat": h0,
+    })
+
+    stack = GNNNodeEmbedding(
+        num_layer=L, emb_dim=d, node_encoder=None,
+        edge_encoder_factory=ZeroEdgeEncoder, drop_ratio=0.0, JK="cat",
+        residual=False, gnn_type="gin", virtual_node=True,
+    )
+    variables = stack.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        b2, None, False,
+    )
+    # eval mode (BN running averages: fresh init -> mean 0 var 1)
+    ours = np.asarray(stack.apply(variables, b2, None, False))
+
+    p = variables["params"]
+    xt = torch.tensor(h0[batch.node_mask])
+    n_per = [7, 5]
+    graph_of = torch.tensor(np.asarray(batch.node_graph)[batch.node_mask].astype(np.int64))
+    src = torch.tensor(np.concatenate([graphs[0]["edge_index"][0],
+                                       graphs[1]["edge_index"][0] + 7]).astype(np.int64))
+    dst = torch.tensor(np.concatenate([graphs[0]["edge_index"][1],
+                                       graphs[1]["edge_index"][1] + 7]).astype(np.int64))
+
+    def lin(prm, x):
+        return x @ torch.tensor(np.asarray(prm["kernel"])) + torch.tensor(np.asarray(prm["bias"]))
+
+    def bn_eval(prm_scale_bias, x):
+        s = torch.tensor(np.asarray(prm_scale_bias["scale"]))
+        b = torch.tensor(np.asarray(prm_scale_bias["bias"]))
+        return x / np.sqrt(1 + 1e-5) * s + b  # running stats: mean 0, var 1
+
+    vn = torch.zeros(2, d) + torch.tensor(np.asarray(p["virtualnode_embedding"]))
+    h_list = [xt]
+    for layer in range(L):
+        h_in = h_list[layer] + vn[graph_of]
+        h_list[layer] = h_in
+        cp = p[f"conv_{layer}"]
+        agg = torch.zeros_like(h_in).index_add_(0, dst, torch.relu(h_in[src]))
+        eps = float(np.asarray(cp["eps"])[0])
+        z = (1 + eps) * h_in + agg
+        z = lin(cp["TDense_0"], z)
+        z = bn_eval(cp["mlp_bn"], z)
+        z = lin(cp["TDense_1"], torch.relu(z))
+        z = bn_eval(p[f"bn_{layer}"], z)
+        if layer < L - 1:
+            z = torch.relu(z)
+        h_list.append(z)
+        if layer < L - 1:
+            pooled = torch.zeros(2, d).index_add_(0, graph_of, h_list[layer])
+            v = pooled + vn
+            vp = p[f"vn_mlp_{layer}"]
+            v = lin(vp["TDense_0"], v)
+            v = torch.relu(bn_eval(vp["MaskedBatchNorm_0"], v))
+            v = lin(vp["TDense_1"], v)
+            v = torch.relu(bn_eval(vp["MaskedBatchNorm_1"], v))
+            vn = v
+    theirs = torch.cat([h_list[0], h_list[-1]], dim=-1)
+    np.testing.assert_allclose(ours[np.asarray(batch.node_mask)], t2n(theirs),
+                               rtol=2e-4, atol=2e-5)
