@@ -35,13 +35,76 @@ def masked_softmax(scores, key_valid, axis=-1):
     return e / jnp.maximum(denom, 1e-16)
 
 
+def chunked_masked_attention(q, k, v, key_valid, key_chunk: int,
+                             dropout: float = 0.0, dropout_rng=None):
+    """Memory-efficient attention: lax.scan over key blocks with an online
+    softmax (running max/denominator), O(S_q * chunk) live memory instead of
+    the full [B,H,Sq,Sk] score tensor. Matches masked_softmax semantics
+    (all-masked rows -> zeros). Attention dropout keeps torch semantics —
+    probabilities normalized by the UNDROPPED denominator, then dropped —
+    by accumulating denom from p and the value sum from dropped p.
+    q,k,v: [B,H,S,hd]; key_valid: [B,S]."""
+    B, H, S, hd = q.shape
+    nchunks = -(-S // key_chunk)
+    pad = nchunks * key_chunk - S
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        key_valid = jnp.pad(key_valid, ((0, 0), (0, pad)))
+    kc = k.reshape(B, H, nchunks, key_chunk, hd).transpose(2, 0, 1, 3, 4)
+    vc = v.reshape(B, H, nchunks, key_chunk, hd).transpose(2, 0, 1, 3, 4)
+    mc = key_valid.reshape(B, nchunks, key_chunk).transpose(1, 0, 2)
+
+    scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+    neg = jnp.asarray(-1e30, jnp.float32)
+    use_dropout = dropout > 0.0 and dropout_rng is not None
+
+    def body(carry, blk):
+        m_run, denom, acc = carry
+        kb, vb, maskb, idx = blk
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kb,
+                       preferred_element_type=jnp.float32) * scale
+        s = jnp.where(maskb[:, None, None, :], s, neg)
+        m_new = jnp.maximum(m_run, jnp.max(s, axis=-1))
+        alpha = jnp.exp(m_run - m_new)
+        p = jnp.exp(s - m_new[..., None])
+        p = jnp.where(maskb[:, None, None, :], p, 0)
+        denom = denom * alpha + jnp.sum(p, axis=-1)
+        if use_dropout:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(dropout_rng, idx), 1.0 - dropout, p.shape
+            )
+            p = jnp.where(keep, p / (1.0 - dropout), 0)
+        acc = acc * alpha[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p, vb.astype(p.dtype))
+        return (m_new, denom, acc), None
+
+    init = (
+        jnp.full((B, H, S), neg, jnp.float32),
+        jnp.zeros((B, H, S), jnp.float32),
+        jnp.zeros((B, H, S, hd), jnp.float32),
+    )
+    (m_run, denom, acc), _ = jax.lax.scan(
+        body, init, (kc, vc, mc, jnp.arange(nchunks)))
+    return acc / jnp.maximum(denom, 1e-16)[..., None]
+
+
 class MultiheadSelfAttention(nn.Module):
     """torch nn.MultiheadAttention-equivalent self-attention (combined QKV
-    projection, xavier-uniform init, zero-init projection biases)."""
+    projection, xavier-uniform init, zero-init projection biases).
+
+    For long node sequences (S >= chunk_threshold) the score tensor is never
+    materialized: a chunked online-softmax scan bounds memory at O(S*chunk)
+    — the TPU-native answer to code2-scale graphs (S=1000 would otherwise
+    allocate [B,H,S,S] ~ hundreds of MB per layer). Attention dropout is only
+    applied on the dense path (reference configs use it, but chunking only
+    engages beyond the reference's sequence cap)."""
 
     d_model: int
     nhead: int
     dropout: float = 0.0
+    chunk_threshold: int = 512
+    key_chunk: int = 128
 
     @nn.compact
     def __call__(self, x, key_valid, training: bool, attn_bias=None):
@@ -57,13 +120,26 @@ class MultiheadSelfAttention(nn.Module):
             return t.reshape(B, S, self.nhead, hd).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.asarray(hd, scores.dtype))
-        if attn_bias is not None:
-            scores = scores + attn_bias
-        att = masked_softmax(scores, key_valid[:, None, None, :])
-        att = nn.Dropout(self.dropout)(att, deterministic=not training)
-        y = jnp.einsum("bhqk,bhkd->bhqd", att, v.astype(att.dtype))
+        use_chunked = S >= self.chunk_threshold and attn_bias is None
+        if use_chunked:
+            drop_rng = (
+                self.make_rng("dropout")
+                if training and self.dropout > 0.0 else None
+            )
+            y = chunked_masked_attention(
+                q, k, v, key_valid, self.key_chunk,
+                dropout=self.dropout if training else 0.0,
+                dropout_rng=drop_rng,
+            )
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(jnp.asarray(hd, scores.dtype))
+            if attn_bias is not None:
+                scores = scores + attn_bias
+            att = masked_softmax(scores, key_valid[:, None, None, :])
+            att = nn.Dropout(self.dropout)(att, deterministic=not training)
+            y = jnp.einsum("bhqk,bhkd->bhqd", att, v.astype(att.dtype))
         y = y.transpose(0, 2, 1, 3).reshape(B, S, d).astype(x.dtype)
         out_w = self.param("out_proj", kaiming_uniform(), (d, d))
         out_b = self.param("out_proj_bias", nn.initializers.zeros, (d,))
