@@ -128,3 +128,56 @@ def test_tu_format_parser(tmp_path):
     assert graphs[0]["edge_index"].shape == (2, 4)
     assert graphs[1]["edge_index"].tolist() == [[0, 1], [1, 0]]
     assert {int(g["y"][0]) for g in graphs} == {0, 1}
+
+
+def test_ogb_raw_csv_reader_roundtrip(tmp_path):
+    """Write a synthetic dataset in OGB's raw CSV layout, read it back."""
+    import gzip
+
+    import pandas as pd
+
+    from graphtrans_tpu.data.mol import load_ogb_graphs
+    from graphtrans_tpu.data.synthetic import make_mol_dataset
+
+    graphs = make_mol_dataset(num_graphs=12, num_tasks=3, seed=1)
+    d = tmp_path / "ogbg_molpcba" / "raw"
+    d.mkdir(parents=True)
+
+    def w(name, arr):
+        pd.DataFrame(np.asarray(arr)).to_csv(d / name, header=False, index=False,
+                                             compression="gzip")
+
+    w("num-node-list.csv.gz", [[g["x"].shape[0]] for g in graphs])
+    w("num-edge-list.csv.gz", [[g["edge_index"].shape[1]] for g in graphs])
+    w("node-feat.csv.gz", np.concatenate([g["x"] for g in graphs]))
+    w("edge-feat.csv.gz", np.concatenate([g["edge_attr"] for g in graphs]))
+    w("edge.csv.gz", np.concatenate([g["edge_index"].T for g in graphs]))
+    w("graph-label.csv.gz", np.stack([g["y"] for g in graphs]))
+    sd = tmp_path / "ogbg_molpcba" / "split" / "scaffold"
+    sd.mkdir(parents=True)
+    for name, idx in (("train", range(8)), ("valid", range(8, 10)), ("test", range(10, 12))):
+        pd.DataFrame([[i] for i in idx]).to_csv(sd / f"{name}.csv.gz", header=False,
+                                                index=False, compression="gzip")
+
+    out, split_idx = load_ogb_graphs(str(tmp_path), "ogbg-molpcba")
+    assert len(out) == 12
+    for a, b in zip(out, graphs):
+        np.testing.assert_array_equal(a["x"], b["x"])
+        np.testing.assert_array_equal(a["edge_index"], b["edge_index"])
+        np.testing.assert_array_equal(a["edge_attr"], b["edge_attr"])
+        np.testing.assert_allclose(
+            np.nan_to_num(a["y"], nan=-9), np.nan_to_num(b["y"], nan=-9))
+    assert list(split_idx["train"]) == list(range(8))
+    assert list(split_idx["test"]) == [10, 11]
+
+    # preprocess() should pick up the on-disk data instead of synthetic
+    import argparse
+
+    from graphtrans_tpu.data.mol import MolUtil
+    from graphtrans_tpu.models import MODELS
+
+    args = argparse.Namespace(dataset="ogbg-molpcba", data_root=str(tmp_path),
+                              gnn_emb_dim=16, feature="full")
+    bundle = MolUtil.preprocess(args, MODELS["gnn"], seed=0)
+    assert len(bundle.splits["train"]) == 8
+    assert bundle.num_tasks == 3
