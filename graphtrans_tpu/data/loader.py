@@ -78,8 +78,11 @@ class GraphLoader:
         return (len(self.graphs) + per - 1) // per
 
     def _collate(self, chunk):
-        # split oversized chunks defensively: drop graphs that alone exceed caps
-        kept, n_tot, e_tot = [], 0, 0
+        # split oversized chunks defensively; `consumed` counts every graph
+        # taken OR dropped so the leftover slice never duplicates (a dropped
+        # graph must not reappear — and an oversized first graph must not
+        # requeue forever)
+        kept, n_tot, e_tot, consumed = [], 0, 0, 0
         for g in chunk:
             n, e = g["x"].shape[0], g["edge_index"].shape[1]
             if n > self.node_cap or e > self.edge_cap:
@@ -91,19 +94,22 @@ class GraphLoader:
                         f"dropping graph id={g.get('_id')} ({n} nodes/{e} edges) "
                         f"exceeding caps ({self.node_cap}/{self.edge_cap})"
                     )
+                    consumed += 1
                     continue
                 raise ValueError("graph exceeds fixed caps")
             if n_tot + n > self.node_cap or e_tot + e > self.edge_cap:
                 break
             kept.append(g)
+            consumed += 1
             n_tot += n
             e_tot += e
+        leftover = chunk[consumed:]
         if not kept:
-            return None, chunk[len(kept):]
+            return None, leftover
         if self.packed is not None:
             batch = self._native_collate(kept)
             if batch is not None:
-                return batch, chunk[len(kept):]
+                return batch, leftover
         return (
             collate(
                 kept,
@@ -117,7 +123,7 @@ class GraphLoader:
                 with_dense_adj=self.with_dense_adj,
                 dense_cap=self.dense_cap,
             ),
-            chunk[len(kept):],
+            leftover,
         )
 
     def _native_collate(self, kept):

@@ -181,3 +181,21 @@ def test_ogb_raw_csv_reader_roundtrip(tmp_path):
     bundle = MolUtil.preprocess(args, MODELS["gnn"], seed=0)
     assert len(bundle.splits["train"]) == 8
     assert bundle.num_tasks == 3
+
+
+def test_loader_drops_oversized_without_duplication(rng):
+    """A graph exceeding the fixed caps is dropped exactly once — following
+    graphs must not be duplicated, and an oversized FIRST graph must not
+    requeue forever (regression)."""
+    graphs = make_tu_dataset(num_graphs=20, min_nodes=5, max_nodes=10, seed=3)
+    # graph 0 and graph 7 oversized
+    big = make_tu_dataset(num_graphs=2, min_nodes=400, max_nodes=420, seed=4)
+    graphs[0] = big[0]
+    graphs[7] = big[1]
+    loader = GraphLoader(graphs, batch_size=4, fixed_caps=(128, 512),
+                         use_native=False)
+    seen = []
+    for b in loader:
+        seen.extend(np.asarray(b.graph_ids)[np.asarray(b.graph_mask)].tolist())
+    assert sorted(seen) == [i for i in range(20) if i not in (0, 7)]
+    assert len(seen) == len(set(seen))
