@@ -15,7 +15,7 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.gnn import GNNNodeEmbedding, gnn_out_dim
+from ..nn.gnn import GNNNodeEmbedding
 from ..nn.init import TDense
 from ..nn.masked_transformer import MaskedOnlyTransformerEncoder
 from ..nn.transformer import PositionalEncoding, TransformerNodeEncoder

@@ -15,7 +15,6 @@ shards carry equal valid-graph counts (the loader keeps shards balanced).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
