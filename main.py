@@ -83,6 +83,10 @@ def build_parser():
                        choices=["f32", "bf16"],
                        help="bf16: forward/backward in bfloat16 with f32 "
                             "master params, losses and BN stats in f32")
+    group.add_argument("--checkpoint_every_epoch", action="store_true",
+                       default=False,
+                       help="checkpoint after every epoch (default keeps the "
+                            "reference's eval-gated granularity)")
     return parser
 
 
@@ -277,6 +281,20 @@ def main():
         state = maybe_freeze(state, start_epoch - 1)
         best_val, final_test = 0.0, 0.0
         rng = jax.random.key(seed + 17)
+
+        # failure tolerance beyond the reference's eval-gated saves
+        # (main.py:249-252 only checkpoints on eval epochs): a SIGTERM (e.g.
+        # preemption) checkpoints before exiting, and --checkpoint_every_epoch
+        # tightens recovery granularity to one epoch.
+        import signal
+
+        term_requested = {"flag": False}
+
+        def _on_term(signum, frame):
+            term_requested["flag"] = True
+
+        old_handler = signal.signal(signal.SIGTERM, _on_term)
+
         for epoch in range(start_epoch, args.epochs + 1):
             t_ep = time.perf_counter()
             stats: dict = {}
@@ -301,6 +319,14 @@ def main():
                              "train/graphs_per_s": stats.get("graphs", 0) / max(dt_ep, 1e-9)})
             logger.info(f"Epoch {epoch} loss {loss:.4f} lr {lr_now:.2e} "
                         f"({dt_ep:.1f}s, {eps/1e6:.2f}M edges/s)")
+
+            if args.checkpoint_every_epoch or term_requested["flag"]:
+                extra = {"plateau": plateau.state_dict()} if plateau else {}
+                ckpt.save_checkpoint(last_path, state, epoch, extra)
+                if term_requested["flag"]:
+                    logger.warning("SIGTERM received — checkpointed, exiting")
+                    signal.signal(signal.SIGTERM, old_handler)
+                    raise SystemExit(143)
 
             valid_perf = None
             if plateau is not None:
@@ -331,6 +357,7 @@ def main():
                     metrics_log.set_summary(f"best/test/{bundle.eval_metric}-runs{run_id}", sm)
                     ckpt.save_checkpoint(best_path, state, epoch, extra)
 
+        signal.signal(signal.SIGTERM, old_handler)
         blob = ckpt.load_checkpoint(best_path)
         if blob is not None:
             state = ckpt.restore_state(state, blob)
