@@ -63,6 +63,20 @@ def restore_state(state, blob: dict):
     )
 
 
+def restore_params(blob: dict, params: Any, batch_stats: Any):
+    """Restore only params + batch_stats (inference: optimizer state not
+    needed, so the checkpoint's opt_state shape is irrelevant)."""
+    import jax.numpy as jnp
+
+    def graft(old, new):
+        return jax.tree_util.tree_map(
+            lambda o, n: jnp.asarray(n, o.dtype) if hasattr(o, "dtype") else n,
+            old, new,
+        )
+
+    return graft(params, blob["params"]), graft(batch_stats, blob["batch_stats"])
+
+
 def load_pretrained_gnn(params: Any, path: str, subtree: str = "gnn_node") -> Any:
     """Graft the `subtree` params from a saved checkpoint into fresh params
     (--pretrained_gnn feature)."""
