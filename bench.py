@@ -44,7 +44,7 @@ def naive_gather_message_scatter(x, edge_emb, edge_src, edge_dst, edge_mask,
     return out.at[edge_dst].add(m, mode="drop", unique_indices=False)
 
 
-def build(batch_size=256, nodes_per=26, emb=256, seed=0):
+def build(batch_size=256, nodes_per=26, emb=256, seed=0, precision="f32"):
     from graphtrans_tpu.data.batch import collate
     from graphtrans_tpu.data.loader import dataset_caps
     from graphtrans_tpu.data.synthetic import make_mol_dataset
@@ -64,6 +64,7 @@ def build(batch_size=256, nodes_per=26, emb=256, seed=0):
                     num_tasks=128, y_dtype="float32")
     args = _flagship_args(gnn_type="gin", gnn_virtual_node=True, gnn_JK="cat",
                           gnn_emb_dim=emb, d_model=128, gnn_dropout=0.3)
+    args.precision = precision
     model = MODELS["gnn-transformer"].build(
         128, args, AtomEncoder(emb), lambda e: BondEncoder(e))
     variables = jax.jit(lambda r, b: model.init(r, b, None, False))(
@@ -96,11 +97,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--batch_size", type=int, default=4096)
+    p.add_argument("--precision", type=str, default="f32", choices=["f32", "bf16"])
     args = p.parse_args()
 
     from graphtrans_tpu.ops import scatter
 
-    state, step, batch = build(batch_size=args.batch_size)
+    state, step, batch = build(batch_size=args.batch_size, precision=args.precision)
     rng = jax.random.key(0)
     edges = int(np.asarray(batch.edge_mask).sum())
     batch = jax.device_put(batch)
