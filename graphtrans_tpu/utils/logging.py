@@ -68,3 +68,13 @@ def count_params(tree) -> int:
     import numpy as np
 
     return int(sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(tree)))
+
+
+def count_trainable_params(params, freeze_active: bool = False,
+                           frozen_subtree: str = "gnn_node") -> int:
+    """Total minus the frozen GNN subtree when --freeze_gnn is active
+    (reference logs total and trainable each epoch, main.py:214-215)."""
+    total = count_params(params)
+    if freeze_active and frozen_subtree in params:
+        total -= count_params(params[frozen_subtree])
+    return total

@@ -317,8 +317,13 @@ def main():
                              "train/lr": lr_now, "epoch_seconds": dt_ep,
                              "train/edges_per_s": eps,
                              "train/graphs_per_s": stats.get("graphs", 0) / max(dt_ep, 1e-9)})
+            from graphtrans_tpu.utils.logging import count_trainable_params
+
+            trainable = count_trainable_params(
+                state.params, bool(state.freeze_gnn_active), model_cls.gnn_subtree)
             logger.info(f"Epoch {epoch} loss {loss:.4f} lr {lr_now:.2e} "
-                        f"({dt_ep:.1f}s, {eps/1e6:.2f}M edges/s)")
+                        f"({dt_ep:.1f}s, {eps/1e6:.2f}M edges/s, "
+                        f"trainable {trainable})")
 
             if args.checkpoint_every_epoch or term_requested["flag"]:
                 extra = {"plateau": plateau.state_dict()} if plateau else {}
