@@ -218,3 +218,40 @@ def test_gspmd_sequence_parallel(rng):
             variables, gspmd.place_batch(batch, mesh))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_halo_partition_spmm_matches_single(rng):
+    """Node-partitioned SpMM with all_to_all halo exchange == single-chip
+    reduction; halo volume stays far below full replication."""
+    from graphtrans_tpu.ops import scatter
+    from graphtrans_tpu.parallel.halo import build_halo_partition, make_halo_spmm
+
+    # batched-graph-like edge structure: mostly local with some cross links
+    N, d = 512, 64
+    E = 2048
+    src = rng.integers(0, N, size=E)
+    # bias edges towards locality (same 64-node neighborhood)
+    local_dst = np.clip(src + rng.integers(-32, 32, size=E), 0, N - 1)
+    far_dst = rng.integers(0, N, size=E)
+    use_far = rng.random(E) < 0.1
+    dst = np.where(use_far, far_dst, local_dst)
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order].astype(np.int32), dst[order].astype(np.int32)
+    mask = rng.random(E) > 0.15
+    emb = rng.standard_normal((E, d)).astype(np.float32)
+    w = rng.standard_normal(E).astype(np.float32)
+    x = rng.standard_normal((N, d)).astype(np.float32)
+
+    ref = scatter.gather_message_scatter(
+        jnp.asarray(x), jnp.asarray(emb), jnp.asarray(src), jnp.asarray(dst),
+        jnp.asarray(mask), N, edge_weight=jnp.asarray(w))
+
+    for D in (2, 4, 8):
+        part = build_halo_partition(src, dst, mask, N, D)
+        fn = make_halo_spmm(part)
+        got = fn(jnp.asarray(x), jnp.asarray(emb), jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"D={D}")
+        # halo exchange must move less than full replication
+        full_replication_rows = (D - 1) * N // D
+        assert part.halo_cap * D < full_replication_rows + part.halo_cap
