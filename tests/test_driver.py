@@ -113,3 +113,10 @@ def test_driver_molhiv_rocauc(tmp_path):
         "--dataset", "ogbg-molhiv", "--model_type", "gnn-transformer",
         "--gnn_type", "gin", "--graph_pooling", "cls"] + SMALL)
     assert 0.0 <= val <= 1.0
+
+
+def test_driver_transformer_gnn(tmp_path):
+    val, test = run_main(tmp_path, [
+        "--dataset", "NCI1", "--model_type", "transformer-gnn",
+        "--graph_pooling", "mean", "--graph_input_dim", "16"] + SMALL)
+    assert 0.0 <= val <= 1.0

@@ -208,3 +208,32 @@ def test_long_sequence_model_uses_chunked_path(rng):
     out, variables = build_and_run(MODELS["gnn-transformer"], args, batch,
                                    training=True)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_masked_encoder_respects_adjacency(rng):
+    """In the adjacency-masked encoder, changing a NON-adjacent node's
+    features must not change a node's output (single block, eval mode)."""
+    import jax.numpy as jnp
+
+    from graphtrans_tpu.nn.masked_transformer import MaskedOnlyTransformerEncoder
+
+    B, S, d = 1, 6, 16
+    x = rng.standard_normal((B, S, d)).astype(np.float32)
+    adj = np.eye(S, dtype=bool)
+    adj[0, 1] = adj[1, 0] = True  # 0-1 adjacent; node 5 isolated
+    valid = np.ones((B, S), bool)
+
+    enc = MaskedOnlyTransformerEncoder(num_layers=1, d_model=d,
+                                       dim_feedforward=32, nhead=4, dropout=0.0)
+    vs = enc.init({"params": jax.random.key(0)}, jnp.asarray(x),
+                  jnp.asarray(adj[None]), jnp.asarray(valid), False)
+    out1 = np.asarray(enc.apply(vs, jnp.asarray(x), jnp.asarray(adj[None]),
+                                jnp.asarray(valid), False))
+    x2 = x.copy()
+    x2[0, 5] += 10.0  # perturb isolated node
+    out2 = np.asarray(enc.apply(vs, jnp.asarray(x2), jnp.asarray(adj[None]),
+                                jnp.asarray(valid), False))
+    # nodes 0-4 must be unaffected by node 5's change
+    np.testing.assert_allclose(out1[0, :5], out2[0, :5], rtol=1e-5, atol=1e-6)
+    # node 5's own output does change
+    assert np.abs(out1[0, 5] - out2[0, 5]).max() > 1e-3
