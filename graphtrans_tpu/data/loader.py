@@ -43,7 +43,9 @@ class GraphLoader:
         drop_overflow: bool = True,
         num_shards: int = 1,
         use_native: bool = True,
+        collate_workers: int = 1,
     ):
+        self.collate_workers = collate_workers
         self.graphs = [dict(g, _id=i) for i, g in enumerate(graphs)]
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -77,53 +79,58 @@ class GraphLoader:
         per = self.batch_size * self.num_shards
         return (len(self.graphs) + per - 1) // per
 
-    def _collate(self, chunk):
-        # split oversized chunks defensively; `consumed` counts every graph
-        # taken OR dropped so the leftover slice never duplicates (a dropped
-        # graph must not reappear — and an oversized first graph must not
-        # requeue forever)
-        kept, n_tot, e_tot, consumed = [], 0, 0, 0
-        for g in chunk:
-            n, e = g["x"].shape[0], g["edge_index"].shape[1]
-            if n > self.node_cap or e > self.edge_cap:
-                if self.drop_overflow:
-                    # never silently narrow coverage (SURVEY "no silent caps")
-                    from ..utils.logging import logger
+    def _plan_chunks(self, order):
+        """Size-only planning pass: split the epoch's graph sequence into
+        per-batch lists honoring the caps. `consumed` counts every graph
+        taken OR dropped so nothing is duplicated (a dropped graph must not
+        reappear — and an oversized first graph must not requeue forever)."""
+        queue = [self.graphs[i] for i in order]
+        plans = []
+        while queue:
+            chunk, queue = queue[: self.batch_size], queue[self.batch_size:]
+            kept, n_tot, e_tot, consumed = [], 0, 0, 0
+            for g in chunk:
+                n, e = g["x"].shape[0], g["edge_index"].shape[1]
+                if n > self.node_cap or e > self.edge_cap:
+                    if self.drop_overflow:
+                        # never silently narrow coverage ("no silent caps")
+                        from ..utils.logging import logger
 
-                    logger.warning(
-                        f"dropping graph id={g.get('_id')} ({n} nodes/{e} edges) "
-                        f"exceeding caps ({self.node_cap}/{self.edge_cap})"
-                    )
-                    consumed += 1
-                    continue
-                raise ValueError("graph exceeds fixed caps")
-            if n_tot + n > self.node_cap or e_tot + e > self.edge_cap:
-                break
-            kept.append(g)
-            consumed += 1
-            n_tot += n
-            e_tot += e
-        leftover = chunk[consumed:]
-        if not kept:
-            return None, leftover
+                        logger.warning(
+                            f"dropping graph id={g.get('_id')} ({n} nodes/{e} "
+                            f"edges) exceeding caps "
+                            f"({self.node_cap}/{self.edge_cap})"
+                        )
+                        consumed += 1
+                        continue
+                    raise ValueError("graph exceeds fixed caps")
+                if n_tot + n > self.node_cap or e_tot + e > self.edge_cap:
+                    break
+                kept.append(g)
+                consumed += 1
+                n_tot += n
+                e_tot += e
+            queue = chunk[consumed:] + queue
+            if kept:
+                plans.append(kept)
+        return plans
+
+    def _collate_kept(self, kept):
         if self.packed is not None:
             batch = self._native_collate(kept)
             if batch is not None:
-                return batch, leftover
-        return (
-            collate(
-                kept,
-                num_graphs_cap=self.batch_size + 1,
-                num_nodes_cap=self.node_cap,
-                num_edges_cap=self.edge_cap,
-                max_input_len=self.max_input_len,
-                num_tasks=self.num_tasks,
-                max_seq_len=self.max_seq_len,
-                y_dtype=self.y_dtype,
-                with_dense_adj=self.with_dense_adj,
-                dense_cap=self.dense_cap,
-            ),
-            leftover,
+                return batch
+        return collate(
+            kept,
+            num_graphs_cap=self.batch_size + 1,
+            num_nodes_cap=self.node_cap,
+            num_edges_cap=self.edge_cap,
+            max_input_len=self.max_input_len,
+            num_tasks=self.num_tasks,
+            max_seq_len=self.max_seq_len,
+            y_dtype=self.y_dtype,
+            with_dense_adj=self.with_dense_adj,
+            dense_cap=self.dense_cap,
         )
 
     def _native_collate(self, kept):
@@ -137,25 +144,21 @@ class GraphLoader:
         )
         if raw is None:
             return None
-        # labels stay host-side (variable-width); fill from the graph dicts
-        if self.max_seq_len is not None:
+        # labels: vectorized fill from the packed tables
+        k = len(kept)
+        if self.max_seq_len is not None and self.packed.y_arr is not None:
             y_arr = np.zeros((G, self.max_seq_len), np.int32)
-            for i, g in enumerate(kept):
-                if "y_arr" in g:
-                    y_arr[i] = np.asarray(g["y_arr"], np.int32).reshape(-1)[: self.max_seq_len]
+            y_arr[:k] = self.packed.y_arr[idx, : self.max_seq_len]
         else:
-            y_arr = np.zeros((G, 0), np.int32)
+            y_arr = np.zeros((G, self.max_seq_len or 0), np.int32)
         if self.y_dtype == "int32":
             y = np.zeros((G,), np.int32)
-            for i, g in enumerate(kept):
-                if g.get("y") is not None:
-                    y[i] = int(np.asarray(g["y"]).reshape(-1)[0])
+            if self.packed.y_int is not None:
+                y[:k] = self.packed.y_int[idx]
         else:
             y = np.full((G, self.num_tasks), np.nan, np.float32)
-            for i, g in enumerate(kept):
-                if g.get("y") is not None:
-                    arr = np.asarray(g["y"], np.float32).reshape(-1)
-                    y[i, : arr.shape[0]] = arr
+            if self.packed.y_float is not None:
+                y[:k, : self.packed.y_float.shape[1]] = self.packed.y_float[idx]
         return GraphBatch(
             node_feat=raw["node_feat"], node_graph=raw["node_graph"],
             node_pos=raw["node_pos"], node_mask=raw["node_mask"],
@@ -175,14 +178,21 @@ class GraphLoader:
             rng.shuffle(order)
         self.epoch += 1
 
-        queue = [self.graphs[i] for i in order]
+        plans = self._plan_chunks(order)
+        if self.collate_workers > 1 and len(plans) > 1:
+            # parallel ordered collation: numpy and the native batcher both
+            # release the GIL, so worker threads scale with cores
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.collate_workers) as ex:
+                batches = ex.map(self._collate_kept, plans)
+                yield from self._emit(batches, jax)
+        else:
+            yield from self._emit(map(self._collate_kept, plans), jax)
+
+    def _emit(self, batches, jax):
         shard_buf = []
-        while queue:
-            chunk, rest = queue[: self.batch_size], queue[self.batch_size:]
-            batch, leftover = self._collate(chunk)
-            queue = list(leftover) + rest if leftover else rest
-            if batch is None:
-                continue
+        for batch in batches:
             if self.num_shards == 1:
                 yield batch
             else:

@@ -84,7 +84,30 @@ class PackedDataset:
                 [g["node_depth"].reshape(-1) for g in graphs]).astype(np.int32)
         else:
             self.node_depth = None
-        self.graphs = graphs  # labels etc. stay host-side per graph
+        self.graphs = graphs
+
+        # labels packed once for vectorized per-batch fill (the per-graph
+        # python loop otherwise dominates batch assembly time)
+        y0 = graphs[0].get("y")
+        if y0 is not None and np.issubdtype(np.asarray(y0).dtype, np.floating):
+            T = int(np.asarray(y0).reshape(-1).shape[0])
+            self.y_float = np.full((len(graphs), T), np.nan, np.float32)
+            for i, g in enumerate(graphs):
+                arr = np.asarray(g["y"], np.float32).reshape(-1)
+                self.y_float[i, : arr.shape[0]] = arr
+            self.y_int = None
+        elif y0 is not None:
+            self.y_int = np.array(
+                [int(np.asarray(g["y"]).reshape(-1)[0]) for g in graphs], np.int32)
+            self.y_float = None
+        else:
+            self.y_int = None
+            self.y_float = None
+        if "y_arr" in graphs[0]:
+            self.y_arr = np.stack(
+                [np.asarray(g["y_arr"], np.int32).reshape(-1) for g in graphs])
+        else:
+            self.y_arr = None
 
 
 def _ptr(a: Optional[np.ndarray]):
