@@ -3,22 +3,37 @@
 // The reference leans on PyG's C++ collation inside DataLoader workers
 // (/root/reference/main.py:149-152); this is the TPU-framework equivalent:
 // given a dataset packed once into contiguous arrays (features, edges,
-// offsets), assemble a padded, destination-sorted GraphBatch directly into
-// caller-provided output buffers — no per-graph Python loop, stable
-// counting-sort CSR ordering, front-truncation ("keep last S nodes")
+// offsets, labels), assemble a padded, destination-sorted GraphBatch
+// directly into caller-provided output buffers — no per-graph Python loop,
+// stable counting-sort CSR ordering, front-truncation ("keep last S nodes")
 // semantics identical to data/batch.py::collate.
+//
+// v2 (gt_collate2) also RESETS the output buffers itself (memset/fill), so
+// callers can keep a ring of reusable buffer sets instead of allocating
+// fresh zeroed arrays per batch, and fills labels (y int/float, y_arr) in
+// the same pass.
 //
 // Exposed via a plain C ABI for ctypes (no pybind11 in this image).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+namespace {
+
+template <typename T>
+void fill(T* p, int64_t n, T v) {
+    for (int64_t i = 0; i < n; ++i) p[i] = v;
+}
+
+}  // namespace
 
 extern "C" {
 
 // Returns 0 on success, negative error codes on capacity violation.
 //  -1: node capacity exceeded, -2: edge capacity, -3: graph capacity
-int gt_collate(
+int gt_collate2(
     // dataset (packed, row-major)
     const int64_t* node_offsets,   // [num_total_graphs + 1]
     const int64_t* edge_offsets,   // [num_total_graphs + 1]
@@ -29,32 +44,62 @@ int gt_collate(
     const uint8_t* edge_attr_in,   // [Etot, edge_row_bytes] or nullptr
     int64_t edge_row_bytes,
     const int32_t* node_depth_in,  // [Ntot] or nullptr
+    // labels (packed per dataset; any may be nullptr)
+    const int32_t* y_int_in,       // [num_total_graphs]
+    const float* y_float_in,       // [num_total_graphs, t_float]
+    int64_t t_float,
+    const int32_t* y_arr_in,       // [num_total_graphs, t_arr]
+    int64_t t_arr,
     // batch selection
     const int64_t* graph_indices,  // [num_sel]
     int64_t num_sel,
     // capacities
     int64_t n_cap, int64_t e_cap, int64_t g_cap, int64_t dense_s,
-    // outputs (pre-zeroed/pre-filled by caller)
+    // outputs (reset HERE — safe to reuse across batches)
     uint8_t* node_feat_out,        // [n_cap, feat_row_bytes]
-    int32_t* node_graph,           // [n_cap] (pre-filled g_cap-1)
+    int32_t* node_graph,           // [n_cap]
     int32_t* node_pos,             // [n_cap]
     uint8_t* node_mask,            // [n_cap]
     int32_t* node_depth_out,       // [n_cap]
-    int32_t* edge_src_out,         // [e_cap] (pre-filled n_cap-1)
+    int32_t* edge_src_out,         // [e_cap]
     int32_t* edge_dst_out,         // [e_cap]
     uint8_t* edge_attr_out,        // [e_cap, edge_row_bytes]
     uint8_t* edge_mask,            // [e_cap]
     uint8_t* graph_mask,           // [g_cap]
     int32_t* num_nodes,            // [g_cap]
-    int32_t* graph_ids_out         // [g_cap] (pre-filled -1)
+    int32_t* graph_ids_out,        // [g_cap]
+    int32_t* y_int_out,            // [g_cap] or nullptr
+    float* y_float_out,            // [g_cap, t_float] or nullptr
+    int32_t* y_arr_out             // [g_cap, t_arr] or nullptr
 ) {
     if (num_sel > g_cap) return -3;
 
-    int64_t node_off = 0, edge_off = 0;
+    // ---- resets ----
+    std::memset(node_feat_out, 0, (size_t)(n_cap * feat_row_bytes));
+    fill(node_graph, n_cap, (int32_t)(g_cap - 1));
+    std::memset(node_pos, 0, (size_t)n_cap * sizeof(int32_t));
+    std::memset(node_mask, 0, (size_t)n_cap);
+    std::memset(node_depth_out, 0, (size_t)n_cap * sizeof(int32_t));
+    fill(edge_src_out, e_cap, (int32_t)(n_cap - 1));
+    fill(edge_dst_out, e_cap, (int32_t)(n_cap - 1));
+    if (edge_row_bytes > 0)
+        std::memset(edge_attr_out, 0, (size_t)(e_cap * edge_row_bytes));
+    std::memset(edge_mask, 0, (size_t)e_cap);
+    std::memset(graph_mask, 0, (size_t)g_cap);
+    std::memset(num_nodes, 0, (size_t)g_cap * sizeof(int32_t));
+    fill(graph_ids_out, g_cap, (int32_t)-1);
+    if (y_int_out) std::memset(y_int_out, 0, (size_t)g_cap * sizeof(int32_t));
+    if (y_float_out) {
+        const float nanv = std::nanf("");
+        fill(y_float_out, g_cap * t_float, nanv);
+    }
+    if (y_arr_out)
+        std::memset(y_arr_out, 0, (size_t)(g_cap * t_arr) * sizeof(int32_t));
 
-    // staging for unsorted edges
+    // ---- assembly ----
+    int64_t node_off = 0, edge_off = 0;
     std::vector<int32_t> src_tmp, dst_tmp;
-    std::vector<int64_t> eid_tmp;  // original edge row (for attr copy)
+    std::vector<int64_t> eid_tmp;
 
     for (int64_t k = 0; k < num_sel; ++k) {
         const int64_t g = graph_indices[k];
@@ -85,6 +130,13 @@ int gt_collate(
         graph_mask[k] = 1;
         num_nodes[k] = (int32_t)n;
         graph_ids_out[k] = (int32_t)g;
+        if (y_int_in && y_int_out) y_int_out[k] = y_int_in[g];
+        if (y_float_in && y_float_out)
+            std::memcpy(y_float_out + k * t_float, y_float_in + g * t_float,
+                        (size_t)(t_float * sizeof(float)));
+        if (y_arr_in && y_arr_out)
+            std::memcpy(y_arr_out + k * t_arr, y_arr_in + g * t_arr,
+                        (size_t)(t_arr * sizeof(int32_t)));
         node_off += n;
         edge_off += e;
     }

@@ -69,11 +69,28 @@ class GraphLoader:
         # native C++ batcher path (csrc/graph_batcher.cpp): pack once, then
         # each batch is one native call; python collate is the fallback
         self.packed = None
+        self._ring = None
         if use_native and not with_dense_adj and len(self.graphs) > 0:
             from . import native
 
             if native.native_available():
                 self.packed = native.PackedDataset(self.graphs)
+                # Reusable output buffers (a yielded batch's arrays are
+                # overwritten 8 batches later; prefetch keeps ≤2 in flight).
+                # ONLY when transfers copy: on the CPU backend
+                # jax.device_put zero-copy ALIASES numpy memory, so reuse
+                # would corrupt in-flight batches — allocate per batch there.
+                import jax
+
+                try:
+                    on_cpu = jax.default_backend() == "cpu"
+                except Exception:
+                    on_cpu = True
+                if not on_cpu:
+                    self._ring = native.BufferRing(
+                        self.packed, self.node_cap, self.edge_cap,
+                        self.batch_size + 1, size=8,
+                    )
 
     def __len__(self):
         per = self.batch_size * self.num_shards
@@ -140,25 +157,25 @@ class GraphLoader:
         S = min(self.dense_cap, self.max_input_len)
         idx = np.array([g["_id"] for g in kept], np.int64)
         raw = native.native_collate(
-            self.packed, idx, self.node_cap, self.edge_cap, G, S
+            self.packed, idx, self.node_cap, self.edge_cap, G, S,
+            buffers=self._ring.next() if self._ring else None,
         )
         if raw is None:
             return None
-        # labels: vectorized fill from the packed tables
-        k = len(kept)
-        if self.max_seq_len is not None and self.packed.y_arr is not None:
-            y_arr = np.zeros((G, self.max_seq_len), np.int32)
-            y_arr[:k] = self.packed.y_arr[idx, : self.max_seq_len]
+        # labels were filled inside the native call
+        if self.max_seq_len is not None and raw["y_arr"] is not None \
+                and raw["y_arr"].shape[1] >= self.max_seq_len:
+            y_arr = raw["y_arr"][:, : self.max_seq_len]
         else:
             y_arr = np.zeros((G, self.max_seq_len or 0), np.int32)
         if self.y_dtype == "int32":
-            y = np.zeros((G,), np.int32)
-            if self.packed.y_int is not None:
-                y[:k] = self.packed.y_int[idx]
+            y = raw["y_int"] if raw["y_int"] is not None else np.zeros(G, np.int32)
+        elif raw["y_float"] is not None and raw["y_float"].shape[1] == self.num_tasks:
+            y = raw["y_float"]
         else:
             y = np.full((G, self.num_tasks), np.nan, np.float32)
-            if self.packed.y_float is not None:
-                y[:k, : self.packed.y_float.shape[1]] = self.packed.y_float[idx]
+            if raw["y_float"] is not None:
+                y[:, : raw["y_float"].shape[1]] = raw["y_float"]
         return GraphBatch(
             node_feat=raw["node_feat"], node_graph=raw["node_graph"],
             node_pos=raw["node_pos"], node_mask=raw["node_mask"],

@@ -1,11 +1,17 @@
 """ctypes bindings for the native C++ batcher (csrc/graph_batcher.cpp).
 
-The dataset is packed ONCE into contiguous arrays; every batch is then
-assembled by a single native call (copy + pad + stable counting-sort CSR by
-destination) into preallocated numpy buffers — the role PyG's C++ collate
-plays inside the reference's DataLoader workers. Falls back transparently to
-the pure-numpy collate when the shared library hasn't been built
-(`make -C csrc`).
+The dataset is packed ONCE into contiguous arrays (features, edges, offsets,
+labels); every batch is then assembled by a single native call
+(reset + copy + pad + label fill + stable counting-sort CSR by destination)
+into a reusable ring of output buffers — the role PyG's C++ collate plays
+inside the reference's DataLoader workers, minus per-batch allocations.
+Falls back transparently to the pure-numpy collate when the shared library
+hasn't been built (`make -C csrc`).
+
+Buffer-ring safety: a yielded batch's arrays are overwritten `ring_size`
+batches later. The training loop's device prefetch keeps at most 2 batches
+in flight and `jax.device_put` snapshots data before then, so the default
+ring of 4 leaves slack; pass ring_size=0 to allocate per batch instead.
 """
 
 from __future__ import annotations
@@ -29,7 +35,10 @@ def _load_lib(build_if_missing: bool = True):
         return _LIB
     _LIB_TRIED = True
     so = os.path.abspath(os.path.join(_CSRC, "libgraph_batcher.so"))
-    if not os.path.exists(so) and build_if_missing:
+    src = os.path.abspath(os.path.join(_CSRC, "graph_batcher.cpp"))
+    stale = (os.path.exists(so) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(so))
+    if (not os.path.exists(so) or stale) and build_if_missing:
         try:
             subprocess.run(["make", "-C", os.path.abspath(_CSRC)],
                            check=True, capture_output=True, timeout=120)
@@ -38,7 +47,9 @@ def _load_lib(build_if_missing: bool = True):
     if not os.path.exists(so):
         return None
     lib = ctypes.CDLL(so)
-    lib.gt_collate.restype = ctypes.c_int
+    if not hasattr(lib, "gt_collate2"):
+        return None
+    lib.gt_collate2.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -86,8 +97,7 @@ class PackedDataset:
             self.node_depth = None
         self.graphs = graphs
 
-        # labels packed once for vectorized per-batch fill (the per-graph
-        # python loop otherwise dominates batch assembly time)
+        # labels packed once: filled per batch inside the native call
         y0 = graphs[0].get("y")
         if y0 is not None and np.issubdtype(np.asarray(y0).dtype, np.floating):
             T = int(np.asarray(y0).reshape(-1).shape[0])
@@ -110,6 +120,46 @@ class PackedDataset:
             self.y_arr = None
 
 
+class BatchBuffers:
+    """One reusable set of output buffers for gt_collate2."""
+
+    def __init__(self, packed: PackedDataset, n_cap, e_cap, g_cap):
+        self.node_feat = np.empty((n_cap, packed.feat_dim), packed.feat_dtype)
+        self.node_graph = np.empty(n_cap, np.int32)
+        self.node_pos = np.empty(n_cap, np.int32)
+        self.node_mask = np.empty(n_cap, np.uint8)
+        self.node_depth = np.empty(n_cap, np.int32)
+        self.edge_src = np.empty(e_cap, np.int32)
+        self.edge_dst = np.empty(e_cap, np.int32)
+        # no edge features -> the native call never touches this buffer;
+        # zero it once here so padding stays clean across reuses
+        self.edge_attr = (
+            np.zeros((e_cap, 1), packed.edge_dtype) if packed.edge_dim == 0
+            else np.empty((e_cap, packed.edge_dim), packed.edge_dtype)
+        )
+        self.edge_mask = np.empty(e_cap, np.uint8)
+        self.graph_mask = np.empty(g_cap, np.uint8)
+        self.num_nodes = np.empty(g_cap, np.int32)
+        self.graph_ids = np.empty(g_cap, np.int32)
+        self.y_int = np.empty(g_cap, np.int32) if packed.y_int is not None else None
+        self.y_float = (np.empty((g_cap, packed.y_float.shape[1]), np.float32)
+                        if packed.y_float is not None else None)
+        self.y_arr = (np.empty((g_cap, packed.y_arr.shape[1]), np.int32)
+                      if packed.y_arr is not None else None)
+
+
+class BufferRing:
+    def __init__(self, packed, n_cap, e_cap, g_cap, size: int = 4):
+        self._bufs = [BatchBuffers(packed, n_cap, e_cap, g_cap)
+                      for _ in range(size)]
+        self._i = 0
+
+    def next(self) -> BatchBuffers:
+        b = self._bufs[self._i]
+        self._i = (self._i + 1) % len(self._bufs)
+        return b
+
+
 def _ptr(a: Optional[np.ndarray]):
     if a is None:
         return None
@@ -117,53 +167,45 @@ def _ptr(a: Optional[np.ndarray]):
 
 
 def native_collate(packed: PackedDataset, indices: np.ndarray,
-                   n_cap: int, e_cap: int, g_cap: int, dense_s: int):
-    """Run the native batcher; returns the raw output arrays or None if the
-    library is unavailable / capacities are violated."""
+                   n_cap: int, e_cap: int, g_cap: int, dense_s: int,
+                   buffers: Optional[BatchBuffers] = None):
+    """Run the native batcher; returns the output arrays (views of `buffers`
+    when given) or None if unavailable / capacity violated."""
     lib = _load_lib()
     if lib is None:
         return None
-    feat_row = int(self_bytes(packed.feat_dtype) * packed.feat_dim)
-    edge_row = int(self_bytes(packed.edge_dtype) * packed.edge_dim)
-
-    node_feat = np.zeros((n_cap, packed.feat_dim), packed.feat_dtype)
-    node_graph = np.full(n_cap, g_cap - 1, np.int32)
-    node_pos = np.zeros(n_cap, np.int32)
-    node_mask = np.zeros(n_cap, np.uint8)
-    node_depth = np.zeros(n_cap, np.int32)
-    edge_src = np.full(e_cap, n_cap - 1, np.int32)
-    edge_dst = np.full(e_cap, n_cap - 1, np.int32)
-    edge_attr = np.zeros((e_cap, max(packed.edge_dim, 1)), packed.edge_dtype)
-    edge_mask = np.zeros(e_cap, np.uint8)
-    graph_mask = np.zeros(g_cap, np.uint8)
-    num_nodes = np.zeros(g_cap, np.int32)
-    graph_ids = np.full(g_cap, -1, np.int32)
+    b = buffers or BatchBuffers(packed, n_cap, e_cap, g_cap)
+    feat_row = int(np.dtype(packed.feat_dtype).itemsize * packed.feat_dim)
+    edge_row = int(np.dtype(packed.edge_dtype).itemsize * packed.edge_dim)
+    t_float = packed.y_float.shape[1] if packed.y_float is not None else 0
+    t_arr = packed.y_arr.shape[1] if packed.y_arr is not None else 0
 
     idx = np.ascontiguousarray(indices, np.int64)
-    rc = lib.gt_collate(
+    rc = lib.gt_collate2(
         _ptr(packed.node_offsets), _ptr(packed.edge_offsets),
         _ptr(packed.node_feat), ctypes.c_int64(feat_row),
         _ptr(packed.edge_src), _ptr(packed.edge_dst),
         _ptr(packed.edge_attr), ctypes.c_int64(edge_row),
         _ptr(packed.node_depth),
+        _ptr(packed.y_int), _ptr(packed.y_float), ctypes.c_int64(t_float),
+        _ptr(packed.y_arr), ctypes.c_int64(t_arr),
         _ptr(idx), ctypes.c_int64(len(idx)),
         ctypes.c_int64(n_cap), ctypes.c_int64(e_cap),
         ctypes.c_int64(g_cap), ctypes.c_int64(dense_s),
-        _ptr(node_feat), _ptr(node_graph), _ptr(node_pos), _ptr(node_mask),
-        _ptr(node_depth),
-        _ptr(edge_src), _ptr(edge_dst), _ptr(edge_attr), _ptr(edge_mask),
-        _ptr(graph_mask), _ptr(num_nodes), _ptr(graph_ids),
+        _ptr(b.node_feat), _ptr(b.node_graph), _ptr(b.node_pos),
+        _ptr(b.node_mask), _ptr(b.node_depth),
+        _ptr(b.edge_src), _ptr(b.edge_dst), _ptr(b.edge_attr),
+        _ptr(b.edge_mask), _ptr(b.graph_mask), _ptr(b.num_nodes),
+        _ptr(b.graph_ids),
+        _ptr(b.y_int), _ptr(b.y_float), _ptr(b.y_arr),
     )
     if rc != 0:
         return None
     return dict(
-        node_feat=node_feat, node_graph=node_graph, node_pos=node_pos,
-        node_mask=node_mask.astype(bool), node_depth=node_depth,
-        edge_src=edge_src, edge_dst=edge_dst, edge_attr=edge_attr,
-        edge_mask=edge_mask.astype(bool), graph_mask=graph_mask.astype(bool),
-        num_nodes=num_nodes, graph_ids=graph_ids,
+        node_feat=b.node_feat, node_graph=b.node_graph, node_pos=b.node_pos,
+        node_mask=b.node_mask.view(bool), node_depth=b.node_depth,
+        edge_src=b.edge_src, edge_dst=b.edge_dst, edge_attr=b.edge_attr,
+        edge_mask=b.edge_mask.view(bool), graph_mask=b.graph_mask.view(bool),
+        num_nodes=b.num_nodes, graph_ids=b.graph_ids,
+        y_int=b.y_int, y_float=b.y_float, y_arr=b.y_arr,
     )
-
-
-def self_bytes(dtype) -> int:
-    return np.dtype(dtype).itemsize
