@@ -291,6 +291,12 @@ def main():
         term_requested = {"flag": False}
 
         def _on_term(signum, frame):
+            if term_requested["flag"]:
+                # second SIGTERM: hard-exit now (the graceful path waits for
+                # the epoch boundary, which may never come mid-compile).
+                # os._exit: raising through interrupted native XLA frames
+                # segfaults; skip interpreter teardown entirely.
+                os._exit(143)
             term_requested["flag"] = True
 
         old_handler = signal.signal(signal.SIGTERM, _on_term)
