@@ -59,6 +59,9 @@ class GNNNodeEmbedding(nn.Module):
     gnn_type: str = "gin"
     virtual_node: bool = False
     bn_axis_name: Optional[str] = None
+    # set under node-sharded (hybrid) execution: per-graph segment sums are
+    # partial on each chip and need a psum over this axis
+    graph_reduce_axis: Optional[str] = None
 
     def setup(self):
         if self.num_layer < 2:
@@ -86,8 +89,14 @@ class GNNNodeEmbedding(nn.Module):
             self.virtualnode_embedding = self.param(
                 "virtualnode_embedding", nn.initializers.zeros, (self.emb_dim,)
             )
+            # under node sharding (graph_reduce_axis set) the per-graph rows
+            # are REPLICATED on every chip — a psum would multiply the BN
+            # counts by the mesh size and skew the unbiased running-var
+            # correction; under data parallelism each chip owns distinct
+            # graphs and the psum is required.
+            vn_bn_axis = None if self.graph_reduce_axis else self.bn_axis_name
             self.vn_mlps = [
-                VirtualNodeMLP(self.emb_dim, self.bn_axis_name, name=f"vn_mlp_{i}")
+                VirtualNodeMLP(self.emb_dim, vn_bn_axis, name=f"vn_mlp_{i}")
                 for i in range(self.num_layer - 1)
             ]
         self.dropout = nn.Dropout(self.drop_ratio)
@@ -136,6 +145,10 @@ class GNNNodeEmbedding(nn.Module):
                 pooled = segment_sum(
                     h_list[layer], batch.node_graph, num_graphs, mask=batch.node_mask
                 )
+                if self.graph_reduce_axis is not None:
+                    import jax
+
+                    pooled = jax.lax.psum(pooled, self.graph_reduce_axis)
                 vn_tmp = pooled + vn
                 vn_new = drop(self.vn_mlps[layer](vn_tmp, batch.graph_mask, training))
                 vn = vn + vn_new if self.residual else vn_new

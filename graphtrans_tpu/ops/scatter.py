@@ -10,11 +10,42 @@ scatter-add. `use_pallas` routes to the Pallas CSR kernel
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 import jax.numpy as jnp
 
 from . import segment
 
 _PALLAS_ENABLED = False
+_HALO = threading.local()
+
+
+@contextlib.contextmanager
+def halo_context(send_idx, axis_name: str, halo_cap: int):
+    """Trace-time routing for node-sharded execution (parallel/hybrid.py):
+    inside this context, gather_message_scatter first extends the LOCAL node
+    table with the halo rows fetched from peer chips via all_to_all, so edge
+    source indices may address [local rows | halo slots]."""
+    _HALO.ctx = (send_idx, axis_name, halo_cap)
+    try:
+        yield
+    finally:
+        _HALO.ctx = None
+
+
+def _halo_extend(x):
+    ctx = getattr(_HALO, "ctx", None)
+    if ctx is None:
+        return x
+    import jax
+
+    send_idx, axis_name, H = ctx
+    D = send_idx.shape[0]
+    send = x[send_idx]  # [D, H, d]
+    halo = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0,
+                              tiled=False)
+    return jnp.concatenate([x, halo.reshape(D * H, x.shape[-1])])
 
 
 def enable_pallas(flag: bool = True):
@@ -52,7 +83,8 @@ def gather_message_scatter(
         )
         if out is not None:
             return out
-    xj = x[edge_src]
+    x_ext = _halo_extend(x)
+    xj = x_ext[edge_src]
     if message == "relu_add":
         m = jnp.maximum(xj + edge_emb, 0)
     elif message == "add":

@@ -255,3 +255,71 @@ def test_halo_partition_spmm_matches_single(rng):
         # halo exchange must move less than full replication
         full_replication_rows = (D - 1) * N // D
         assert part.halo_cap * D < full_replication_rows + part.halo_cap
+
+
+def test_hybrid_node_sharded_gnn_matches_replicated(rng):
+    """Full GIN-virtual stack with node features sharded + per-layer halo
+    exchange == the replicated single-device forward."""
+    from graphtrans_tpu.nn.encoders import LinearNodeEncoder, ZeroEdgeEncoder
+    from graphtrans_tpu.nn.gnn import GNNNodeEmbedding
+    from graphtrans_tpu.parallel.hybrid import (
+        make_hybrid_gnn_forward, shard_batch_for_hybrid,
+    )
+
+    graphs = make_tu_dataset(num_graphs=24, min_nodes=8, max_nodes=30, seed=9)
+    batch = collate(graphs, 25, 512, 2048)
+
+    common = dict(num_layer=3, emb_dim=32, node_encoder=LinearNodeEncoder(32),
+                  edge_encoder_factory=ZeroEdgeEncoder, drop_ratio=0.0,
+                  JK="cat", residual=False, gnn_type="gin", virtual_node=True)
+    ref_mod = GNNNodeEmbedding(**common)
+    variables = ref_mod.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, None, False,
+    )
+    ref = np.asarray(ref_mod.apply(variables, batch, None, False))
+
+    for D in (2, 4, 8):
+        hyb_mod = GNNNodeEmbedding(**common, bn_axis_name="data",
+                                   graph_reduce_axis="data")
+        local, part = shard_batch_for_hybrid(batch, D)
+        fwd = make_hybrid_gnn_forward(hyb_mod, part)
+        got = np.asarray(fwd(variables, local))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"D={D}")
+
+
+def test_hybrid_gnn_training_mode_bn_sync(rng):
+    """Training mode: per-chip partial BN statistics must psum to the global
+    batch statistics (outputs AND updated running stats match the
+    single-device training pass; dropout 0 for determinism)."""
+    from graphtrans_tpu.nn.encoders import LinearNodeEncoder, ZeroEdgeEncoder
+    from graphtrans_tpu.nn.gnn import GNNNodeEmbedding
+    from graphtrans_tpu.parallel.hybrid import (
+        make_hybrid_gnn_forward, shard_batch_for_hybrid,
+    )
+
+    graphs = make_tu_dataset(num_graphs=20, min_nodes=6, max_nodes=24, seed=10)
+    batch = collate(graphs, 21, 512, 2048)
+    common = dict(num_layer=2, emb_dim=16, node_encoder=LinearNodeEncoder(16),
+                  edge_encoder_factory=ZeroEdgeEncoder, drop_ratio=0.0,
+                  JK="last", residual=False, gnn_type="gin", virtual_node=True)
+    ref_mod = GNNNodeEmbedding(**common)
+    variables = ref_mod.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, None, False,
+    )
+    ref, ref_mut = ref_mod.apply(variables, batch, None, True,
+                                 rngs={"dropout": jax.random.key(2)},
+                                 mutable=["batch_stats"])
+    hyb_mod = GNNNodeEmbedding(**common, bn_axis_name="data",
+                               graph_reduce_axis="data")
+    local, part = shard_batch_for_hybrid(batch, 4)
+    fwd = make_hybrid_gnn_forward(hyb_mod, part)
+    got, new_bs = fwd(variables, local, True, jax.random.key(2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_mut["batch_stats"]),
+                    jax.tree_util.tree_leaves(new_bs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
