@@ -64,6 +64,7 @@ class GNNTransformerModule(nn.Module):
     pos_encoder: bool = False
     bn_axis_name: Optional[str] = None
     sp_axis: Optional[str] = None  # sequence-parallel mesh axis (GSPMD mode)
+    graph_reduce_axis: Optional[str] = None  # node-sharded (hybrid) execution
 
     def setup(self):
         self.gnn_node = GNNNodeEmbedding(
@@ -77,6 +78,7 @@ class GNNTransformerModule(nn.Module):
             gnn_type=self.gnn_type,
             virtual_node=self.gnn_virtual_node,
             bn_axis_name=self.bn_axis_name,
+            graph_reduce_axis=self.graph_reduce_axis,
         )
         self.gnn2transformer = TDense(self.d_model)
         if self.pos_encoder:
@@ -186,4 +188,5 @@ class GNNTransformer(ModelSpec):
             pos_encoder=args.pos_encoder,
             bn_axis_name=getattr(args, "bn_axis_name", None),
             sp_axis=getattr(args, "sp_axis", None),
+            graph_reduce_axis=getattr(args, "graph_reduce_axis", None),
         )

@@ -15,7 +15,25 @@ of the reference's batch-composition-dependent front-pad offsets).
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 import jax.numpy as jnp
+
+_PSUM = threading.local()
+
+
+@contextlib.contextmanager
+def dense_psum_context(axis_name: str):
+    """Trace-time routing for node-sharded execution (parallel/hybrid.py):
+    each chip scatters only its local node rows, so the dense packing is a
+    partial tensor — a psum over the mesh completes it (the transformer
+    stage then runs on the full, replicated packing)."""
+    _PSUM.axis = axis_name
+    try:
+        yield
+    finally:
+        _PSUM.axis = None
 
 
 def nodes_to_dense(h_node, node_graph, node_pos, node_mask, num_graphs, max_len):
@@ -30,6 +48,12 @@ def nodes_to_dense(h_node, node_graph, node_pos, node_mask, num_graphs, max_len)
     dense = dense.at[node_graph, pos].set(h_node, mode="drop")
     valid = jnp.zeros((num_graphs, max_len + 1), bool)
     valid = valid.at[node_graph, pos].set(node_mask, mode="drop")
+    axis = getattr(_PSUM, "axis", None)
+    if axis is not None:
+        import jax
+
+        dense = jax.lax.psum(dense, axis)
+        valid = jax.lax.psum(valid.astype(jnp.int32), axis) > 0
     return dense[:, :max_len], valid[:, :max_len]
 
 

@@ -124,3 +124,42 @@ def make_hybrid_gnn_forward(gnn_module, part: HaloPartition):
         return out.reshape((-1,) + out.shape[2:])
 
     return jax.jit(fn, static_argnums=(2,))
+
+
+def make_hybrid_flagship_forward(model, part: HaloPartition):
+    """Full GraphTrans forward across the mesh: node-sharded GNN stage (halo
+    convs, psum BN/VN) whose dense packing psums into the replicated
+    transformer stage. `model` must be built with bn_axis_name='data' and
+    graph_reduce_axis='data'. Eval-mode forward (inference / eval loops);
+    hybrid training integration is the follow-up."""
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import dense as dense_ops
+    from ..ops import scatter
+
+    D = part.n_shards
+    mesh = make_mesh(dp=D)
+    send_idx_all = np.asarray(part.send_idx)
+
+    def body(variables, stacked, send_idx):
+        local = jax.tree_util.tree_map(lambda x: x[0], stacked)
+        with scatter.halo_context(send_idx[0], "data", part.halo_cap), \
+                dense_ops.dense_psum_context("data"):
+            out = model.apply(variables, local, None, False)
+        return out  # replicated logits [G, ...]
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=P(),
+        check_rep=False,
+    )
+
+    def fn(variables, stacked):
+        import jax.numpy as jnp
+
+        return sharded(variables, stacked, jnp.asarray(send_idx_all))
+
+    return jax.jit(fn)
