@@ -163,3 +163,64 @@ def make_hybrid_flagship_forward(model, part: HaloPartition):
         return sharded(variables, stacked, jnp.asarray(send_idx_all))
 
     return jax.jit(fn)
+
+
+def make_hybrid_train_step(model, calc_loss, tx, part: HaloPartition,
+                           gnn_subtree: str = "gnn_node",
+                           donate: bool = True):
+    """Full training step across the mesh with the node-sharded GNN stage.
+
+    Gradient combination: the GNN subtree's compute is sharded, so each chip
+    holds only its nodes' contributions -> psum; the transformer/head stages
+    run replicated (identical on every chip after the dense-packing psum) ->
+    pmean (identity up to float drift). A single rng keeps the replicated
+    stages' dropout identical across chips (the GNN stage then reuses the
+    same per-row pattern on each shard — different data, acceptable)."""
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import dense as dense_ops
+    from ..ops import scatter
+    from ..trainers.base_trainer import apply_update
+
+    D = part.n_shards
+    mesh = make_mesh(dp=D)
+    send_idx_all = np.asarray(part.send_idx)
+
+    def body(state, stacked, send_idx, rng):
+        local = jax.tree_util.tree_map(lambda x: x[0], stacked)
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            with scatter.halo_context(send_idx[0], "data", part.halo_cap), \
+                    dense_ops.dense_psum_context("data"):
+                out, mut = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    local, None, True,
+                    rngs={"dropout": rng}, mutable=["batch_stats"],
+                )
+            return calc_loss(out, local), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        combined = {
+            k: (jax.lax.psum(v, "data") if k == gnn_subtree
+                else jax.lax.pmean(v, "data"))
+            for k, v in grads.items()
+        }
+        return apply_update(state, combined, new_bs, loss, tx, gnn_subtree)
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+
+    def fn(state, stacked, rng):
+        import jax.numpy as jnp
+
+        return sharded(state, stacked, jnp.asarray(send_idx_all), rng)
+
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

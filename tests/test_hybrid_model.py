@@ -36,3 +36,53 @@ def test_hybrid_flagship_forward_matches_single(rng):
         got = np.asarray(fwd(variables, local))
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5,
                                    err_msg=f"D={D}")
+
+
+def test_hybrid_train_step_matches_single(rng):
+    """One hybrid training step == the single-device step: loss equal, grads
+    combined correctly (psum for the sharded GNN subtree, pmean for the
+    replicated stages), synced BN stats equal."""
+    from graphtrans_tpu.parallel.hybrid import make_hybrid_train_step
+    from graphtrans_tpu.train import losses
+    from graphtrans_tpu.train.optim import build_optimizer
+    from graphtrans_tpu.train.state import TrainState
+    from graphtrans_tpu.trainers import TRAINER_REGISTRY
+
+    graphs = make_tu_dataset(num_graphs=24, min_nodes=8, max_nodes=30, seed=12)
+    batch = collate(graphs, 25, 512, 2048)
+    args = default_args(gnn_type="gin", gnn_virtual_node=True, gnn_JK="cat",
+                        gnn_dropout=0.0, transformer_dropout=0.0,
+                        weight_decay=0.0)
+    model_cls = MODELS["gnn-transformer"]
+    ref_model = model_cls.build(2, args, LinearNodeEncoder(16), ZeroEdgeEncoder)
+    variables = ref_model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, None, False,
+    )
+    params, bs = variables["params"], variables.get("batch_stats", {})
+    tx, _ = build_optimizer(args, 10)
+    trainer = TRAINER_REGISTRY["baseline"]
+    step_ref = trainer.make_train_step(ref_model, losses.classification_loss,
+                                       tx, args, donate=False)
+    s_ref, loss_ref = step_ref(TrainState.create(params, bs, tx.init(params)),
+                               batch, jax.random.key(9))
+
+    args.bn_axis_name = "data"
+    args.graph_reduce_axis = "data"
+    hyb_model = model_cls.build(2, args, LinearNodeEncoder(16), ZeroEdgeEncoder)
+    from graphtrans_tpu.parallel.hybrid import shard_batch_for_hybrid
+
+    local, part = shard_batch_for_hybrid(batch, 4)
+    step_hyb = make_hybrid_train_step(hyb_model, losses.classification_loss,
+                                      tx, part, donate=False)
+    s_hyb, loss_hyb = step_hyb(TrainState.create(params, bs, tx.init(params)),
+                               local, jax.random.key(9))
+    np.testing.assert_allclose(float(loss_ref), float(loss_hyb), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.batch_stats),
+                    jax.tree_util.tree_leaves(s_hyb.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    # post-Adam params within one sign-normalized step of each other
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_hyb.params)):
+        assert np.max(np.abs(np.asarray(a) - np.asarray(b))) <= 2 * args.lr + 1e-6
