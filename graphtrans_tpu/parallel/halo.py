@@ -51,7 +51,9 @@ class HaloPartition:
 
 def build_halo_partition(edge_src, edge_dst, edge_mask, num_nodes: int,
                          n_shards: int) -> HaloPartition:
-    """Host-side partition of a padded batch's edge set (numpy)."""
+    """Host-side partition of a padded batch's edge set — fully vectorized
+    numpy (one np.unique per destination shard), fast enough to run
+    per batch inside the loader."""
     src = np.asarray(edge_src, np.int64)
     dst = np.asarray(edge_dst, np.int64)
     mask = np.asarray(edge_mask, bool)
@@ -62,52 +64,46 @@ def build_halo_partition(edge_src, edge_dst, edge_mask, num_nodes: int,
     owner_dst = dst // ns
     owner_src = src // ns
 
-    per_shard = []
-    halo_lists = [[[] for _ in range(D)] for _ in range(D)]  # [owner p][consumer s]
-    halo_maps = [[{} for _ in range(D)] for _ in range(D)]
-
+    per_shard = []  # (sel, dst_local, src_owner, uk, slot_per_edge, local_src)
+    max_halo = 1
+    max_edges = 1
     for s in range(D):
         sel = np.nonzero(mask & (owner_dst == s))[0]
-        e_src, e_dst, e_own = src[sel], dst[sel], owner_src[sel]
-        src_local = np.empty(len(sel), np.int64)
-        for j in range(len(sel)):
-            p = e_own[j]
-            if p == s:
-                src_local[j] = e_src[j] - p * ns
-            else:
-                m = halo_maps[p][s]
-                slot = m.get(e_src[j])
-                if slot is None:
-                    slot = len(m)
-                    m[e_src[j]] = slot
-                    halo_lists[p][s].append(e_src[j] - p * ns)
-                src_local[j] = -(p * 10**9 + slot) - 1  # placeholder, fixed below
-        per_shard.append((sel, e_dst - s * ns, src_local))
+        e_src, e_own = src[sel], owner_src[sel]
+        remote = e_own != s
+        # unique (owner, src) pairs among remote sources, slots numbered
+        # 0..count-1 WITHIN each owner group (keys sort owner-major)
+        uk, inv = np.unique(e_src[remote] + e_own[remote] * (10 ** 12),
+                            return_inverse=True)
+        p_of_uk = (uk // (10 ** 12)).astype(np.int64)
+        group_start = np.searchsorted(p_of_uk, np.arange(D))
+        slot_of_uk = np.arange(len(uk)) - group_start[p_of_uk]
+        if len(uk):
+            counts = np.bincount(p_of_uk, minlength=D)
+            max_halo = max(max_halo, int(counts.max()))
+        max_edges = max(max_edges, len(sel))
+        per_shard.append((sel, dst[sel] - s * ns, e_own, remote, uk, inv,
+                          p_of_uk, slot_of_uk))
 
-    H = _bucket(max((len(halo_lists[p][s]) for p in range(D) for s in range(D)),
-                    default=1))
-    Es = _bucket(max((len(sel) for sel, _, _ in per_shard), default=1), 8)
+    H = _bucket(max_halo)
+    Es = _bucket(max_edges, 8)
 
     send_idx = np.zeros((D, D, H), np.int32)
-    for p in range(D):
-        for s in range(D):
-            lst = halo_lists[p][s]
-            if lst:
-                send_idx[p, s, : len(lst)] = np.asarray(lst, np.int32)
-
     edge_src_local = np.zeros((D, Es), np.int32)
     edge_dst_local = np.zeros((D, Es), np.int32)
     edge_perm = np.zeros((D, Es), np.int32)
     e_mask = np.zeros((D, Es), bool)
-    for s, (sel, d_l, s_l) in enumerate(per_shard):
-        # resolve halo placeholders now that H is known:
-        # halo row for (owner p, slot k) lives at ns + p*H + k
-        fixed = np.where(
-            s_l >= 0, s_l,
-            ns + ((-(s_l + 1)) // 10**9) * H + ((-(s_l + 1)) % 10**9),
-        )
+    for s, (sel, d_l, e_own, remote, uk, inv, p_of_uk, slot_of_uk) in enumerate(per_shard):
         n = len(sel)
-        edge_src_local[s, :n] = fixed
+        s_l = src[sel] - e_own * ns  # local index within the owner
+        # remote sources address their halo row ns + p*H + slot
+        if len(uk):
+            halo_rows = ns + p_of_uk[inv] * H + slot_of_uk[inv]
+            s_l = s_l.copy()
+            s_l[remote] = halo_rows
+            # what each owner p ships to this shard s
+            send_idx[p_of_uk, s, slot_of_uk] = (uk % (10 ** 12) - p_of_uk * ns).astype(np.int32)
+        edge_src_local[s, :n] = s_l
         edge_dst_local[s, :n] = d_l
         edge_perm[s, :n] = sel
         e_mask[s, :n] = True
