@@ -55,6 +55,9 @@ class GraphBatch:
     # unconditionally and pickles it: /root/reference/data/adj_list.py:37-49).
     dense_adj: Any = None  # [G, S, S] bool or None
     graph_ids: Any = None  # [G] int32: index into the source split (-1 = padding)
+    # node-sharded (hybrid) execution only: [D, H] rows this chip ships to
+    # each peer (parallel/halo.py); None everywhere else
+    halo_send_idx: Any = None
 
     # --- static metadata (aux_data, not traced) ---
     max_nodes_dense: int = dataclasses.field(default=0, metadata=dict(static=True))

@@ -44,8 +44,12 @@ class GraphLoader:
         num_shards: int = 1,
         use_native: bool = True,
         collate_workers: int = 1,
+        hybrid_shards: int = 0,
     ):
         self.collate_workers = collate_workers
+        # hybrid node-sharded mode: each batch is halo-partitioned into
+        # per-chip local views (parallel/hybrid.py)
+        self.hybrid_shards = hybrid_shards
         self.graphs = [dict(g, _id=i) for i, g in enumerate(graphs)]
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -210,7 +214,16 @@ class GraphLoader:
     def _emit(self, batches, jax):
         shard_buf = []
         for batch in batches:
-            if self.num_shards == 1:
+            if self.hybrid_shards > 1:
+                from ..parallel.hybrid import shard_batch_for_hybrid
+
+                # coarse buckets keep the per-(Es,H)-shape recompile count low
+                local, _ = shard_batch_for_hybrid(
+                    batch, self.hybrid_shards,
+                    halo_multiple=256, edge_multiple=1024,
+                )
+                yield local
+            elif self.num_shards == 1:
                 yield batch
             else:
                 shard_buf.append(batch)

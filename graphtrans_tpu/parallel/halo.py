@@ -50,7 +50,8 @@ class HaloPartition:
 
 
 def build_halo_partition(edge_src, edge_dst, edge_mask, num_nodes: int,
-                         n_shards: int) -> HaloPartition:
+                         n_shards: int, halo_multiple: int = 8,
+                         edge_multiple: int = 8) -> HaloPartition:
     """Host-side partition of a padded batch's edge set — fully vectorized
     numpy (one np.unique per destination shard), fast enough to run
     per batch inside the loader."""
@@ -85,8 +86,8 @@ def build_halo_partition(edge_src, edge_dst, edge_mask, num_nodes: int,
         per_shard.append((sel, dst[sel] - s * ns, e_own, remote, uk, inv,
                           p_of_uk, slot_of_uk))
 
-    H = _bucket(max_halo)
-    Es = _bucket(max_edges, 8)
+    H = _bucket(max_halo, halo_multiple)
+    Es = _bucket(max_edges, edge_multiple)
 
     send_idx = np.zeros((D, D, H), np.int32)
     edge_src_local = np.zeros((D, Es), np.int32)

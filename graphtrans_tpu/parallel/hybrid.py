@@ -27,15 +27,20 @@ from .halo import HaloPartition, build_halo_partition
 from .mesh import make_mesh
 
 
-def shard_batch_for_hybrid(batch: GraphBatch, n_shards: int):
+def shard_batch_for_hybrid(batch: GraphBatch, n_shards: int,
+                           halo_multiple: int = 8, edge_multiple: int = 8):
     """Split a padded batch into per-chip local views (stacked on a leading
     axis) + the halo partition. Node-level arrays shard into row blocks;
     edge-level arrays are re-laid-out per destination owner with sources
-    remapped into [local | halo] rows; graph-level arrays replicate."""
+    remapped into [local | halo] rows; graph-level arrays replicate. The
+    send-index table travels WITH the batch (halo_send_idx), so one compiled
+    step serves every batch of the same (Es, H) bucket."""
     D = n_shards
     N = batch.node_feat.shape[0]
     part = build_halo_partition(batch.edge_src, batch.edge_dst,
-                                batch.edge_mask, N, D)
+                                batch.edge_mask, N, D,
+                                halo_multiple=halo_multiple,
+                                edge_multiple=edge_multiple)
     ns = part.nodes_per_shard
     Es = part.edge_src_local.shape[1]
 
@@ -64,12 +69,13 @@ def shard_batch_for_hybrid(batch: GraphBatch, n_shards: int):
         y_arr=repl(batch.y_arr),
         dense_adj=None,
         graph_ids=repl(batch.graph_ids),
+        halo_send_idx=np.asarray(part.send_idx),
         max_nodes_dense=batch.max_nodes_dense,
     )
     return local, part
 
 
-def make_hybrid_gnn_forward(gnn_module, part: HaloPartition):
+def make_hybrid_gnn_forward(gnn_module, part):
     """Returns fn(variables, local_batch_stacked, training=False) -> [N, out]
     — the GNN stack under shard_map with halo-exchange convs. `gnn_module`
     must be built with bn_axis_name='data' and graph_reduce_axis='data'."""
@@ -79,21 +85,22 @@ def make_hybrid_gnn_forward(gnn_module, part: HaloPartition):
 
     from ..ops import scatter
 
-    D = part.n_shards
+    D = part if isinstance(part, int) else part.n_shards
     mesh = make_mesh(dp=D)
-    send_idx_all = np.asarray(part.send_idx)  # [D, D, H]
 
-    def body_eval(variables, stacked, send_idx):
+    def body_eval(variables, stacked):
         local = jax.tree_util.tree_map(lambda x: x[0], stacked)
-        with scatter.halo_context(send_idx[0], "data", part.halo_cap):
+        send_idx = local.halo_send_idx
+        with scatter.halo_context(send_idx, "data", send_idx.shape[-1]):
             out = gnn_module.apply(variables, local, None, False)
         return out[None]
 
-    def body_train(variables, stacked, send_idx, rng):
+    def body_train(variables, stacked, rng):
         local = jax.tree_util.tree_map(lambda x: x[0], stacked)
+        send_idx = local.halo_send_idx
         # per-shard dropout streams; BN stats psum via bn_axis_name
         local_rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-        with scatter.halo_context(send_idx[0], "data", part.halo_cap):
+        with scatter.halo_context(send_idx, "data", send_idx.shape[-1]):
             out, mut = gnn_module.apply(
                 variables, local, None, True,
                 rngs={"dropout": local_rng}, mutable=["batch_stats"],
@@ -102,31 +109,28 @@ def make_hybrid_gnn_forward(gnn_module, part: HaloPartition):
 
     sharded_eval = shard_map(
         body_eval, mesh=mesh,
-        in_specs=(P(), P("data"), P("data")),
+        in_specs=(P(), P("data")),
         out_specs=P("data"),
         check_rep=False,
     )
     sharded_train = shard_map(
         body_train, mesh=mesh,
-        in_specs=(P(), P("data"), P("data"), P()),
+        in_specs=(P(), P("data"), P()),
         out_specs=(P("data"), P()),  # synced BN stats are replicated
         check_rep=False,
     )
 
     def fn(variables, stacked, training: bool = False, rng=None):
-        import jax.numpy as jnp
-
         if training:
-            out, new_bs = sharded_train(variables, stacked,
-                                        jnp.asarray(send_idx_all), rng)
+            out, new_bs = sharded_train(variables, stacked, rng)
             return out.reshape((-1,) + out.shape[2:]), new_bs
-        out = sharded_eval(variables, stacked, jnp.asarray(send_idx_all))
+        out = sharded_eval(variables, stacked)
         return out.reshape((-1,) + out.shape[2:])
 
     return jax.jit(fn, static_argnums=(2,))
 
 
-def make_hybrid_flagship_forward(model, part: HaloPartition):
+def make_hybrid_flagship_forward(model, part):
     """Full GraphTrans forward across the mesh: node-sharded GNN stage (halo
     convs, psum BN/VN) whose dense packing psums into the replicated
     transformer stage. `model` must be built with bn_axis_name='data' and
@@ -139,33 +143,28 @@ def make_hybrid_flagship_forward(model, part: HaloPartition):
     from ..ops import dense as dense_ops
     from ..ops import scatter
 
-    D = part.n_shards
+    D = part if isinstance(part, int) else part.n_shards
     mesh = make_mesh(dp=D)
-    send_idx_all = np.asarray(part.send_idx)
 
-    def body(variables, stacked, send_idx):
+    def body(variables, stacked):
         local = jax.tree_util.tree_map(lambda x: x[0], stacked)
-        with scatter.halo_context(send_idx[0], "data", part.halo_cap), \
+        send_idx = local.halo_send_idx
+        with scatter.halo_context(send_idx, "data", send_idx.shape[-1]), \
                 dense_ops.dense_psum_context("data"):
             out = model.apply(variables, local, None, False)
         return out  # replicated logits [G, ...]
 
     sharded = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P("data"), P("data")),
+        in_specs=(P(), P("data")),
         out_specs=P(),
         check_rep=False,
     )
 
-    def fn(variables, stacked):
-        import jax.numpy as jnp
-
-        return sharded(variables, stacked, jnp.asarray(send_idx_all))
-
-    return jax.jit(fn)
+    return jax.jit(lambda variables, stacked: sharded(variables, stacked))
 
 
-def make_hybrid_train_step(model, calc_loss, tx, part: HaloPartition,
+def make_hybrid_train_step(model, calc_loss, tx, part,
                            gnn_subtree: str = "gnn_node",
                            donate: bool = True):
     """Full training step across the mesh with the node-sharded GNN stage.
@@ -184,16 +183,16 @@ def make_hybrid_train_step(model, calc_loss, tx, part: HaloPartition,
     from ..ops import scatter
     from ..trainers.base_trainer import apply_update
 
-    D = part.n_shards
+    D = part if isinstance(part, int) else part.n_shards
     mesh = make_mesh(dp=D)
-    send_idx_all = np.asarray(part.send_idx)
 
-    def body(state, stacked, send_idx, rng):
+    def body(state, stacked, rng):
         local = jax.tree_util.tree_map(lambda x: x[0], stacked)
+        send_idx = local.halo_send_idx
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            with scatter.halo_context(send_idx[0], "data", part.halo_cap), \
+            with scatter.halo_context(send_idx, "data", send_idx.shape[-1]), \
                     dense_ops.dense_psum_context("data"):
                 out, mut = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
@@ -213,14 +212,10 @@ def make_hybrid_train_step(model, calc_loss, tx, part: HaloPartition,
 
     sharded = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P("data"), P("data"), P()),
+        in_specs=(P(), P("data"), P()),
         out_specs=(P(), P()),
         check_rep=False,
     )
 
-    def fn(state, stacked, rng):
-        import jax.numpy as jnp
-
-        return sharded(state, stacked, jnp.asarray(send_idx_all), rng)
-
-    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    return jax.jit(lambda state, stacked, rng: sharded(state, stacked, rng),
+                   donate_argnums=(0,) if donate else ())

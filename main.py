@@ -73,6 +73,9 @@ def build_parser():
     group = parser.add_argument_group("tpu")
     group.add_argument("--dp_shards", type=int, default=1,
                        help="data-parallel shards over the device mesh")
+    group.add_argument("--hybrid_shards", type=int, default=1,
+                       help="node-sharded (halo-exchange) execution over the "
+                            "mesh — gnn-transformer with gnn_type=gin only")
     group.add_argument("--use_pallas", action="store_true", default=False,
                        help="enable Pallas fused kernels for the GNN scatter path")
     group.add_argument("--synthetic_num_graphs", type=int, default=400)
@@ -102,16 +105,20 @@ def make_loaders(bundle, args, num_shards=1):
         max_input_len=int(getattr(args, "max_input_len", 1000)),
         with_dense_adj=with_adj,
         fixed_caps=caps,
+        hybrid_shards=getattr(args, "hybrid_shards", 1),
     )
     train_loader = GraphLoader(bundle.splits["train"], args.batch_size,
                                shuffle=True, seed=args.seed or 0,
                                num_shards=num_shards, **common)
+    # evaluation always runs on plain (unsharded) batches — hybrid node
+    # sharding is a training-scale concern
+    common_eval = dict(common, hybrid_shards=1)
     train_eval = GraphLoader(bundle.splits["train"], eval_bs,
-                             num_shards=num_shards, **common)
+                             num_shards=num_shards, **common_eval)
     valid_loader = GraphLoader(bundle.splits["valid"], eval_bs,
-                               num_shards=num_shards, **common)
+                               num_shards=num_shards, **common_eval)
     test_loader = GraphLoader(bundle.splits["test"], eval_bs,
-                              num_shards=num_shards, **common)
+                              num_shards=num_shards, **common_eval)
     return train_loader, train_eval, valid_loader, test_loader
 
 
@@ -133,7 +140,15 @@ def main():
     model_cls = get_model_and_parser(args, parser)
     args = parser.parse_args()
 
-    args.bn_axis_name = "data" if args.dp_shards > 1 else None
+    args.bn_axis_name = "data" if (args.dp_shards > 1 or args.hybrid_shards > 1) else None
+    args.graph_reduce_axis = "data" if args.hybrid_shards > 1 else None
+    if args.hybrid_shards > 1:
+        if args.dp_shards > 1:
+            raise SystemExit("--hybrid_shards and --dp_shards are exclusive")
+        if args.model_type != "gnn-transformer" or args.gnn_type != "gin":
+            raise SystemExit("--hybrid_shards currently supports "
+                             "gnn-transformer with gnn_type=gin (GCN needs "
+                             "global degree normalization — follow-up)")
     if args.use_pallas:
         from graphtrans_tpu.ops import scatter
 
@@ -199,9 +214,20 @@ def main():
         )))
         seed = (args.seed or 0) * 1000 + run_id
         init_rng = jax.random.key(seed)
+        # initialize through an axis-free twin: collective axis names are
+        # unbound outside shard_map (param structure is identical)
+        init_model = model
+        if args.bn_axis_name or getattr(args, "graph_reduce_axis", None):
+            import copy
+
+            ia = copy.copy(args)
+            ia.bn_axis_name = None
+            ia.graph_reduce_axis = None
+            init_model = model_cls.build(bundle.num_tasks, ia, node_encoder,
+                                         bundle.edge_encoder_cls, deg=bundle.deg)
         # jit the init: eager init dispatches thousands of tiny ops
         # (painfully slow through a networked device)
-        variables = jax.jit(lambda r, b: model.init(r, b, None, False))(
+        variables = jax.jit(lambda r, b: init_model.init(r, b, None, False))(
             {"params": jax.random.fold_in(init_rng, 0),
              "dropout": jax.random.fold_in(init_rng, 1)},
             sample,
@@ -220,7 +246,24 @@ def main():
 
         logger.info(f"Model parameters: {count_params(params)}")
 
-        if args.dp_shards > 1:
+        if args.hybrid_shards > 1:
+            import copy
+
+            from graphtrans_tpu.parallel.hybrid import make_hybrid_train_step
+
+            step_fn = make_hybrid_train_step(model, calc_loss, tx,
+                                             args.hybrid_shards,
+                                             model_cls.gnn_subtree)
+            # eval: plain batches through an unsharded twin (same params)
+            eval_args = copy.copy(args)
+            eval_args.bn_axis_name = None
+            eval_args.graph_reduce_axis = None
+            eval_model = model_cls.build(bundle.num_tasks, eval_args,
+                                         node_encoder, bundle.edge_encoder_cls,
+                                         deg=bundle.deg)
+            fwd = jax.jit(lambda params, batch_stats, batch: eval_model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch, None, False))
+        elif args.dp_shards > 1:
             from graphtrans_tpu.parallel.dp import make_dp_train_step, make_dp_eval_fn
 
             step_fn = make_dp_train_step(trainer, model, calc_loss, tx, args,

@@ -120,3 +120,21 @@ def test_driver_transformer_gnn(tmp_path):
         "--dataset", "NCI1", "--model_type", "transformer-gnn",
         "--graph_pooling", "mean", "--graph_input_dim", "16"] + SMALL)
     assert 0.0 <= val <= 1.0
+
+
+def test_driver_hybrid_shards(tmp_path):
+    """Node-sharded (halo-exchange) training via the CLI on the virtual mesh."""
+    val, test = run_main(tmp_path, [
+        "--dataset", "ogbg-molpcba", "--model_type", "gnn-transformer",
+        "--gnn_type", "gin", "--gnn_virtual_node", "--graph_pooling", "cls",
+        "--hybrid_shards", "4"] + SMALL)
+    assert 0.0 <= val <= 1.0
+
+
+def test_driver_hybrid_rejects_gcn(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        run_main(tmp_path, [
+            "--dataset", "NCI1", "--model_type", "gnn-transformer",
+            "--gnn_type", "gcn", "--hybrid_shards", "2"] + SMALL)
