@@ -58,6 +58,10 @@ class GraphBatch:
     # node-sharded (hybrid) execution only: [D, H] rows this chip ships to
     # each peer (parallel/halo.py); None everywhere else
     halo_send_idx: Any = None
+    # hybrid GCN: host-precomputed degree normalization (local per-edge
+    # scatter cannot see a node's global out-degree)
+    edge_gcn_norm: Any = None   # [E] deg^-1/2[src] * deg^-1/2[dst]
+    node_gcn_inv_deg: Any = None  # [N] 1/deg (self-loop term scale)
 
     # --- static metadata (aux_data, not traced) ---
     max_nodes_dense: int = dataclasses.field(default=0, metadata=dict(static=True))

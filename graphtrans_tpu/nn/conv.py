@@ -62,14 +62,22 @@ class GCNConv(nn.Module):
         x = TDense(self.emb_dim)(h)
         x = jnp.where(batch.node_mask[:, None], x, 0)
         edge_emb = self.edge_encoder(batch.edge_attr)
-        deg = out_degree(batch.edge_src, x.shape[0], batch.edge_mask, x.dtype) + 1.0
-        dis = jnp.where(deg > 0, deg, 1.0) ** -0.5
-        norm = dis[batch.edge_src] * dis[batch.edge_dst]
+        if batch.edge_gcn_norm is not None:
+            # node-sharded execution: degrees are a GLOBAL property the
+            # local edge shard cannot see — use the host-precomputed
+            # normalization (parallel/hybrid.py)
+            norm = batch.edge_gcn_norm
+            inv_deg = batch.node_gcn_inv_deg[:, None]
+        else:
+            deg = out_degree(batch.edge_src, x.shape[0], batch.edge_mask, x.dtype) + 1.0
+            dis = jnp.where(deg > 0, deg, 1.0) ** -0.5
+            norm = dis[batch.edge_src] * dis[batch.edge_dst]
+            inv_deg = 1.0 / deg[:, None]
         agg = scatter.gather_message_scatter(
             x, edge_emb, batch.edge_src, batch.edge_dst, batch.edge_mask,
             num_nodes=x.shape[0], message="relu_add", edge_weight=norm,
         )
         root_emb = self.param("root_emb", normal(1.0), (self.emb_dim,))
-        self_term = nn.relu(x + root_emb) / deg[:, None]
+        self_term = nn.relu(x + root_emb) * inv_deg
         out = agg + self_term
         return jnp.where(batch.node_mask[:, None], out, 0)

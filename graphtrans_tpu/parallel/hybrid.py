@@ -53,6 +53,17 @@ def shard_batch_for_hybrid(batch: GraphBatch, n_shards: int,
         return np.broadcast_to(a, (D,) + a.shape).copy()
 
     edge_attr = np.asarray(batch.edge_attr)[part.edge_perm]  # [D, Es, Fe]
+
+    # GCN degree normalization is global — precompute host-side and lay out
+    # per shard (deg(src)+1 semantics per /root/reference/modules/conv.py:57)
+    src_np = np.asarray(batch.edge_src)
+    mask_np = np.asarray(batch.edge_mask)
+    deg = np.bincount(src_np[mask_np], minlength=N).astype(np.float32) + 1.0
+    dis = deg ** -0.5
+    norm_global = dis[src_np] * dis[np.asarray(batch.edge_dst)]
+    edge_gcn_norm = (norm_global[part.edge_perm] * part.edge_mask).astype(np.float32)
+    node_gcn_inv_deg = (1.0 / deg).reshape(D, ns).astype(np.float32)
+
     local = GraphBatch(
         node_feat=shard_nodes(batch.node_feat),
         node_graph=shard_nodes(batch.node_graph),
@@ -70,6 +81,8 @@ def shard_batch_for_hybrid(batch: GraphBatch, n_shards: int,
         dense_adj=None,
         graph_ids=repl(batch.graph_ids),
         halo_send_idx=np.asarray(part.send_idx),
+        edge_gcn_norm=edge_gcn_norm,
+        node_gcn_inv_deg=node_gcn_inv_deg,
         max_nodes_dense=batch.max_nodes_dense,
     )
     return local, part

@@ -145,10 +145,9 @@ def main():
     if args.hybrid_shards > 1:
         if args.dp_shards > 1:
             raise SystemExit("--hybrid_shards and --dp_shards are exclusive")
-        if args.model_type != "gnn-transformer" or args.gnn_type != "gin":
+        if args.model_type != "gnn-transformer" or args.gnn_type not in ("gin", "gcn"):
             raise SystemExit("--hybrid_shards currently supports "
-                             "gnn-transformer with gnn_type=gin (GCN needs "
-                             "global degree normalization — follow-up)")
+                             "gnn-transformer with gnn_type gin|gcn")
     if args.use_pallas:
         from graphtrans_tpu.ops import scatter
 

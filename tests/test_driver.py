@@ -131,10 +131,19 @@ def test_driver_hybrid_shards(tmp_path):
     assert 0.0 <= val <= 1.0
 
 
-def test_driver_hybrid_rejects_gcn(tmp_path):
+def test_driver_hybrid_gcn(tmp_path):
+    """GCN hybrid (host-precomputed degree normalization) trains via CLI."""
+    val, test = run_main(tmp_path, [
+        "--dataset", "NCI1", "--model_type", "gnn-transformer",
+        "--gnn_type", "gcn", "--graph_pooling", "cls",
+        "--hybrid_shards", "2"] + SMALL)
+    assert 0.0 <= val <= 1.0
+
+
+def test_driver_hybrid_rejects_unsupported_model(tmp_path):
     import pytest
 
     with pytest.raises(SystemExit):
         run_main(tmp_path, [
-            "--dataset", "NCI1", "--model_type", "gnn-transformer",
-            "--gnn_type", "gcn", "--hybrid_shards", "2"] + SMALL)
+            "--dataset", "NCI1", "--model_type", "transformer",
+            "--hybrid_shards", "2"] + SMALL)

@@ -86,3 +86,26 @@ def test_hybrid_train_step_matches_single(rng):
     for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
                     jax.tree_util.tree_leaves(s_hyb.params)):
         assert np.max(np.abs(np.asarray(a) - np.asarray(b))) <= 2 * args.lr + 1e-6
+
+
+def test_hybrid_flagship_forward_gcn(rng):
+    """GCN hybrid: host-precomputed degree normalization reproduces the
+    replicated GCN forward (global deg(src)+1 semantics)."""
+    graphs = make_tu_dataset(num_graphs=20, min_nodes=8, max_nodes=26, seed=13)
+    batch = collate(graphs, 21, 512, 2048)
+    args = default_args(gnn_type="gcn", gnn_dropout=0.0, transformer_dropout=0.0)
+    model_cls = MODELS["gnn-transformer"]
+    ref_model = model_cls.build(2, args, LinearNodeEncoder(16), ZeroEdgeEncoder)
+    variables = ref_model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, None, False,
+    )
+    ref = np.asarray(ref_model.apply(variables, batch, None, False))
+
+    args.bn_axis_name = "data"
+    args.graph_reduce_axis = "data"
+    hyb_model = model_cls.build(2, args, LinearNodeEncoder(16), ZeroEdgeEncoder)
+    local, part = shard_batch_for_hybrid(batch, 4)
+    fwd = make_hybrid_flagship_forward(hyb_model, 4)
+    got = np.asarray(fwd(variables, local))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
