@@ -72,9 +72,14 @@ class PNAConv(nn.Module):
         N = x.shape[0]
         A, S = len(self.aggregators), len(self.scalers)
 
+        from ..ops.scatter import maybe_halo_extend
+
         xt = x.reshape(N, T, Ft)
-        x_i = xt[batch.edge_dst]  # [E, T, Ft] (destination / center)
-        x_j = xt[batch.edge_src]  # [E, T, Ft] (source / neighbor)
+        # destination rows are always chip-local (dst-owned edge layout);
+        # source rows may live on a peer under node sharding
+        xt_ext = maybe_halo_extend(x).reshape(-1, T, Ft)
+        x_i = xt[batch.edge_dst]      # [E, T, Ft] (destination / center)
+        x_j = xt_ext[batch.edge_src]  # [E, T, Ft] (source / neighbor)
         h = jnp.concatenate([x_i, x_j], axis=-1)  # [E, T, 2Ft]
 
         w_pre = self.param("pre_w", _tower_linear_init(2 * Ft), (T, 2 * Ft, Ft))

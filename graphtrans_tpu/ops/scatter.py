@@ -48,6 +48,13 @@ def _halo_extend(x):
     return jnp.concatenate([x, halo.reshape(D * H, x.shape[-1])])
 
 
+def maybe_halo_extend(x):
+    """Public entry for modules that gather source rows themselves (PNA):
+    extends the local node table with halo rows when running under a
+    halo_context, identity otherwise."""
+    return _halo_extend(x)
+
+
 def enable_pallas(flag: bool = True):
     global _PALLAS_ENABLED
     _PALLAS_ENABLED = flag

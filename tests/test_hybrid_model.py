@@ -109,3 +109,36 @@ def test_hybrid_flagship_forward_gcn(rng):
     fwd = make_hybrid_flagship_forward(hyb_model, 4)
     got = np.asarray(fwd(variables, local))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_hybrid_pna_transformer_forward(rng):
+    """PNA hybrid: dst rows local, src rows via halo; degree scalers stay
+    exact because a node's incoming edges are co-located with it."""
+    from graphtrans_tpu.data.synthetic import make_mol_dataset
+    from graphtrans_tpu.data.mol import degree_histogram
+    from graphtrans_tpu.nn.encoders import AtomEncoder, BondEncoder
+
+    graphs = make_mol_dataset(num_graphs=16, num_tasks=4, seed=14)
+    batch = collate(graphs, 17, 512, 2048, num_tasks=4, y_dtype="float32")
+    deg = degree_histogram(graphs, 10)
+    args = default_args(model_type="pna-transformer", gnn_emb_dim=16,
+                        gnn_dropout=0.0, transformer_dropout=0.0,
+                        graph_pooling="cls")
+    model_cls = MODELS["pna-transformer"]
+    ref_model = model_cls.build(4, args, AtomEncoder(16),
+                                lambda e: BondEncoder(e), deg=deg)
+    variables = ref_model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, None, False,
+    )
+    ref = np.asarray(ref_model.apply(variables, batch, None, False))
+
+    args.bn_axis_name = "data"
+    hyb_model = model_cls.build(4, args, AtomEncoder(16),
+                                lambda e: BondEncoder(e), deg=deg)
+    local, part = shard_batch_for_hybrid(batch, 4)
+    from graphtrans_tpu.parallel.hybrid import make_hybrid_flagship_forward
+
+    fwd = make_hybrid_flagship_forward(hyb_model, 4)
+    got = np.asarray(fwd(variables, local))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
