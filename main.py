@@ -145,9 +145,11 @@ def main():
     if args.hybrid_shards > 1:
         if args.dp_shards > 1:
             raise SystemExit("--hybrid_shards and --dp_shards are exclusive")
-        if args.model_type != "gnn-transformer" or args.gnn_type not in ("gin", "gcn"):
+        ok = (args.model_type == "gnn-transformer" and args.gnn_type in ("gin", "gcn")) \
+            or args.model_type == "pna-transformer"
+        if not ok:
             raise SystemExit("--hybrid_shards currently supports "
-                             "gnn-transformer with gnn_type gin|gcn")
+                             "gnn-transformer (gin|gcn) and pna-transformer")
     if args.use_pallas:
         from graphtrans_tpu.ops import scatter
 
