@@ -147,3 +147,19 @@ def test_driver_hybrid_rejects_unsupported_model(tmp_path):
         run_main(tmp_path, [
             "--dataset", "NCI1", "--model_type", "transformer",
             "--hybrid_shards", "2"] + SMALL)
+
+
+def test_driver_onecycle_and_eval_batch_size(tmp_path):
+    val, test = run_main(tmp_path, [
+        "--dataset", "NCI1", "--model_type", "gnn-transformer",
+        "--graph_pooling", "cls", "--scheduler", "onecycle",
+        "--max_lr", "0.003", "--eval_batch_size", "8"] + SMALL)
+    assert 0.0 <= val <= 1.0
+
+
+def test_driver_mol_feature_simple(tmp_path):
+    val, test = run_main(tmp_path, [
+        "--dataset", "ogbg-molpcba", "--model_type", "gnn-transformer",
+        "--gnn_type", "gin", "--graph_pooling", "cls",
+        "--feature", "simple"] + SMALL)
+    assert 0.0 <= val <= 1.0

@@ -237,3 +237,15 @@ def test_masked_encoder_respects_adjacency(rng):
     np.testing.assert_allclose(out1[0, :5], out2[0, :5], rtol=1e-5, atol=1e-6)
     # node 5's own output does change
     assert np.abs(out1[0, 5] - out2[0, 5]).max() > 1e-3
+
+
+def test_transformer_model_unpad_pooling_paths(rng):
+    """Transformer-only model with non-cls pooling: transformer output is
+    unpacked back to nodes and pooled PyG-style (reference
+    transformer.py:103-107)."""
+    batch = make_batch(rng)
+    for pool in ["mean", "sum", "attention"]:
+        args = default_args(model_type="transformer", graph_pooling=pool)
+        out, _ = build_and_run(MODELS["transformer"], args, batch)
+        assert out.shape == (4, 2), pool
+        assert np.all(np.isfinite(np.asarray(out)))
