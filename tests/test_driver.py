@@ -163,3 +163,13 @@ def test_driver_mol_feature_simple(tmp_path):
         "--gnn_type", "gin", "--graph_pooling", "cls",
         "--feature", "simple"] + SMALL)
     assert 0.0 <= val <= 1.0
+
+
+def test_driver_flag_with_dp(tmp_path):
+    """FLAG adversarial trainer composed with shard_map data parallelism
+    (the DP wrapper consumes any trainer's grad_fn)."""
+    val, test = run_main(tmp_path, [
+        "--dataset", "ogbg-molpcba", "--model_type", "gnn-transformer",
+        "--gnn_type", "gin", "--graph_pooling", "cls",
+        "--aug", "flag", "--dp_shards", "2"] + SMALL)
+    assert 0.0 <= val <= 1.0
