@@ -8,9 +8,12 @@ and the (replicated) optimizer update is applied identically everywhere.
 
 Masked BatchNorm is built with axis_name='data' (sync-BN: the batch statistics
 psum over the mesh), so an N-chip step matches the single-chip step on the
-same global batch up to float reassociation; without padding-count skew the
-pmean of per-shard masked-mean losses equals the global masked mean when
-shards carry equal valid-graph counts (the loader keeps shards balanced).
+same global batch up to float reassociation. Each shard's loss is a masked
+MEAN, so the cross-shard reduction is the count-weighted mean
+psum(loss*w)/psum(w) — with w the loss's own denominator (valid graphs, or
+labeled entries for mol; losses.py weight_fn) — which equals the global
+masked mean even when shards are unbalanced (epoch-tail padding, bucketed
+chunk breaks). Gradients reduce with the same weights.
 """
 
 from __future__ import annotations
@@ -18,10 +21,12 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
+from ..train import losses
 from ..trainers.base_trainer import apply_update
 from .mesh import make_mesh
 
@@ -35,13 +40,17 @@ def make_dp_train_step(trainer, model, calc_loss, tx, args,
                        donate: bool = True) -> Callable:
     mesh = make_mesh(dp=n_shards)
     grad_fn = trainer.make_grad_fn(model, calc_loss, args)
+    weight_fn = getattr(calc_loss, "weight_fn", losses.graph_count_weight)
 
     def body(state, sharded_batch, rng):
         batch = _squeeze0(sharded_batch)
         local_rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
         grads, new_bs, loss = grad_fn(state, batch, local_rng)
-        grads = jax.lax.pmean(grads, "data")
-        loss = jax.lax.pmean(loss, "data")
+        w = weight_fn(batch)
+        denom = jnp.maximum(jax.lax.psum(w, "data"), 1.0)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g * w, "data") / denom, grads)
+        loss = jax.lax.psum(loss * w, "data") / denom
         # sync-BN (axis_name='data') already made new_bs identical on every
         # shard; no extra collective needed.
         return apply_update(state, grads, new_bs, loss, tx, gnn_subtree)

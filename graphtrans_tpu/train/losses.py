@@ -60,3 +60,26 @@ def classification_loss(pred, batch, m=1.0):
     del m
     ce = softmax_cross_entropy(pred, batch.y.astype(jnp.int32))
     return masked_mean(ce, batch.graph_mask)
+
+
+# ---- masked-mean denominators -------------------------------------------
+# Each loss above is a masked MEAN over its shard; under shard_map data
+# parallelism the correct global loss/gradient is the count-weighted mean
+# over shards: psum(loss*w)/psum(w) (parallel/dp.py). `weight_fn` exposes
+# each loss's denominator so unbalanced shards (epoch-tail padding, bucketed
+# chunk breaks) reduce exactly like the single-device global batch.
+
+def graph_count_weight(batch):
+    return jnp.sum(batch.graph_mask.astype(jnp.float32))
+
+
+def labeled_count_weight(batch):
+    y = batch.y
+    is_labeled = (y == y) & batch.graph_mask[:, None]
+    return jnp.sum(is_labeled.astype(jnp.float32))
+
+
+seq_token_loss.weight_fn = graph_count_weight
+classification_loss.weight_fn = graph_count_weight
+binary_multitask_loss.weight_fn = labeled_count_weight
+regression_loss.weight_fn = labeled_count_weight

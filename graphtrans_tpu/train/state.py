@@ -40,3 +40,19 @@ def zero_subtree_where(flag, updates, subtree_key: str):
     scale = jnp.where(flag, 0.0, 1.0)
     frozen = jax.tree_util.tree_map(lambda u: u * scale, updates[subtree_key])
     return {**updates, subtree_key: frozen}
+
+
+def keep_subtree_where(flag, new_tree, old_tree, subtree_key: str):
+    """Select old_tree's leaves wherever the tree path contains subtree_key
+    and flag is set. Used to pin the frozen GNN's optimizer moments in place
+    (torch requires_grad=False: Adam state for frozen params does not advance
+    at all)."""
+    import jax
+
+    def sel(path, n, o):
+        keys = {getattr(k, "key", None) for k in path}
+        if subtree_key in keys and hasattr(n, "shape"):
+            return jnp.where(flag, o, n)
+        return n
+
+    return jax.tree_util.tree_map_with_path(sel, new_tree, old_tree)

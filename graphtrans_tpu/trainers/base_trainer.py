@@ -19,7 +19,7 @@ import jax
 import numpy as np
 import optax
 
-from ..train.state import TrainState, zero_subtree_where
+from ..train.state import TrainState, keep_subtree_where, zero_subtree_where
 
 
 def make_param_cast(args):
@@ -40,8 +40,15 @@ def make_param_cast(args):
 
 
 def apply_update(state: TrainState, grads, new_bs, loss, tx, gnn_subtree: str):
+    # freeze-GNN = torch requires_grad=False: the frozen subtree gets no
+    # update AND its Adam moments stay exactly where they were (grads are
+    # zeroed BEFORE tx.update, residual weight-decay updates zeroed after,
+    # and the subtree's optimizer state is pinned to its previous value).
+    grads = zero_subtree_where(state.freeze_gnn_active, grads, gnn_subtree)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     updates = zero_subtree_where(state.freeze_gnn_active, updates, gnn_subtree)
+    new_opt = keep_subtree_where(state.freeze_gnn_active, new_opt,
+                                 state.opt_state, gnn_subtree)
     new_params = optax.apply_updates(state.params, updates)
     return state.replace(
         step=state.step + 1,

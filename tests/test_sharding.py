@@ -323,3 +323,56 @@ def test_hybrid_gnn_training_mode_bn_sync(rng):
                     jax.tree_util.tree_leaves(new_bs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_dp_step_matches_single_device_unbalanced_shards(rng):
+    """Shards with very different valid-graph counts (the epoch-tail /
+    bucketed-chunk-break case): the count-weighted psum reduction in
+    parallel/dp.py must reproduce the single-device global-batch step
+    exactly, not the naive pmean of per-shard means."""
+    graphs = make_tu_dataset(num_graphs=16, seed=7)
+    caps = (512, 2048)
+    # 12 valid graphs on shard 0, 4 on shard 1 (same padded graph cap);
+    # pin the dense width so the shard batches stack
+    shard_batches = [
+        collate(graphs[:12], 17, caps[0], caps[1], dense_cap=64),
+        collate(graphs[12:], 17, caps[0], caps[1], dense_cap=64),
+    ]
+    stacked = _stack(shard_batches)
+    global_batch = collate(graphs, 34, 2 * caps[0], 2 * caps[1], dense_cap=64)
+
+    args = default_args(gnn_dropout=0.0, transformer_dropout=0.0,
+                        weight_decay=0.0)
+    model_cls = MODELS["gnn-transformer"]
+
+    args.bn_axis_name = None
+    model_single = model_cls.build(2, args, LinearNodeEncoder(16), ZeroEdgeEncoder)
+    args.bn_axis_name = "data"
+    model_dp = model_cls.build(2, args, LinearNodeEncoder(16), ZeroEdgeEncoder)
+
+    variables = model_single.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        shard_batches[0], None, False,
+    )
+    params, bs = variables["params"], variables.get("batch_stats", {})
+    tx, _ = build_optimizer(args, 10)
+    trainer = TRAINER_REGISTRY["baseline"]
+
+    step_single = trainer.make_train_step(model_single, losses.classification_loss,
+                                          tx, args, donate=False)
+    step_dp = make_dp_train_step(trainer, model_dp, losses.classification_loss,
+                                 tx, args, "gnn_node", 2, donate=False)
+
+    s0 = TrainState.create(params, bs, tx.init(params))
+    s_single, loss_single = step_single(s0, global_batch, jax.random.key(9))
+    s_dp, loss_dp = step_dp(
+        TrainState.create(params, bs, tx.init(params)), stacked, jax.random.key(9)
+    )
+    np.testing.assert_allclose(float(loss_single), float(loss_dp), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.batch_stats),
+                    jax.tree_util.tree_leaves(s_dp.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
+    # post-Adam params: bound deviation by one full sign-normalized step
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                    jax.tree_util.tree_leaves(s_dp.params)):
+        assert np.max(np.abs(np.asarray(a) - np.asarray(b))) <= 2 * args.lr + 1e-6

@@ -174,3 +174,43 @@ def test_checkpoint_roundtrip(rng, tmp_path):
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored.step) == int(state.step)
+
+
+def test_freeze_gnn_pins_adam_moments(rng):
+    """torch requires_grad=False semantics: while frozen, the GNN subtree's
+    optimizer state (Adam mu/nu) must not advance at all — grads are masked
+    BEFORE tx.update and the subtree's opt leaves are pinned."""
+    from jax.tree_util import tree_flatten_with_path
+
+    graphs = make_tu_dataset(num_graphs=24, seed=1)
+    args = default_args(scheduler=None, lr=1e-3, weight_decay=0.1, grad_clip=None)
+    model, state, step_fn, loader, trainer = _setup_training(graphs, args)
+    batch = next(iter(loader))
+    # one unfrozen step so the moments are non-trivial
+    state, _ = step_fn(state, batch, jax.random.key(0))
+    state = state.replace(freeze_gnn_active=jnp.ones((), bool))
+
+    def gnn_opt_leaves(opt_state):
+        flat, _ = tree_flatten_with_path(opt_state)
+        return [(p, np.asarray(v).copy()) for p, v in flat
+                if any(getattr(k, "key", None) == "gnn_node" for k in p)
+                and hasattr(v, "shape")]
+
+    def head_opt_leaves(opt_state):
+        flat, _ = tree_flatten_with_path(opt_state)
+        return [np.asarray(v).copy() for p, v in flat
+                if any(getattr(k, "key", None) == "head" for k in p)
+                and hasattr(v, "shape")]
+
+    before = gnn_opt_leaves(state.opt_state)
+    head_before = head_opt_leaves(state.opt_state)
+    assert before, "expected gnn_node leaves inside the optimizer state"
+    state, _ = step_fn(state, batch, jax.random.key(1))
+    after = gnn_opt_leaves(state.opt_state)
+    for (pa, a), (pb, b) in zip(before, after):
+        assert pa == pb
+        np.testing.assert_array_equal(a, b)
+    # and non-frozen (head) moments did advance
+    head_after = head_opt_leaves(state.opt_state)
+    assert any(np.abs(a - b).max() > 0
+               for a, b in zip(head_before, head_after))
