@@ -84,3 +84,16 @@ def make_gspmd_train_step(trainer, model, calc_loss, tx, args,
 
 def place_batch(batch, mesh: Mesh):
     return jax.device_put(batch, batch_spec(batch, mesh))
+
+
+def make_gspmd_eval_fn(model, mesh: Mesh) -> Callable:
+    """Eval forward under the dp×tp mesh: batch sharded over 'data',
+    megatron-sharded weights stay resident; returns host-friendly output."""
+    jitted = jax.jit(lambda params, batch_stats, batch: model.apply(
+        {"params": params, "batch_stats": batch_stats}, batch, None, False))
+
+    def fwd(params, batch_stats, batch):
+        with jax.sharding.set_mesh(mesh):
+            return jitted(params, batch_stats, place_batch(batch, mesh))
+
+    return fwd

@@ -54,7 +54,6 @@ def build_parser():
     group.add_argument("--gnn_JK", type=str, default="last")
     group.add_argument("--gnn_residual", action="store_true", default=False)
     group = parser.add_argument_group("training")
-    group.add_argument("--devices", type=str, default="0")
     group.add_argument("--batch_size", type=int, default=128)
     group.add_argument("--eval_batch_size", type=int, default=None)
     group.add_argument("--epochs", type=int, default=30)
@@ -73,6 +72,15 @@ def build_parser():
     group = parser.add_argument_group("tpu")
     group.add_argument("--dp_shards", type=int, default=1,
                        help="data-parallel shards over the device mesh")
+    group.add_argument("--tp_shards", type=int, default=1,
+                       help="tensor-parallel (megatron) shards for the "
+                            "transformer stage; composes with --dp_shards on "
+                            "one dp×tp mesh via GSPMD")
+    group.add_argument("--sp", action="store_true", default=False,
+                       help="sequence parallelism: shard the dense "
+                            "transformer activations along the node axis "
+                            "over the 'model' mesh axis (requires "
+                            "--tp_shards > 1)")
     group.add_argument("--hybrid_shards", type=int, default=1,
                        help="node-sharded (halo-exchange) execution over the "
                             "mesh — gnn-transformer with gnn_type=gin only")
@@ -140,8 +148,24 @@ def main():
     model_cls = get_model_and_parser(args, parser)
     args = parser.parse_args()
 
-    args.bn_axis_name = "data" if (args.dp_shards > 1 or args.hybrid_shards > 1) else None
+    # Three mutually-composable-or-exclusive parallel modes:
+    #   shard_map DP (--dp_shards alone): stacked per-shard batches, sync-BN
+    #   GSPMD dp×tp[×sp] (--tp_shards/--sp): one logical batch, sharded
+    #     weights/activations, BN statistics globally exact by construction
+    #   hybrid node-sharded (--hybrid_shards): halo-exchange GNN
+    args.use_gspmd = args.tp_shards > 1 or args.sp
+    if args.sp and args.tp_shards <= 1:
+        raise SystemExit("--sp shards the node axis over the 'model' mesh "
+                         "axis; it requires --tp_shards > 1")
+    if args.use_gspmd and args.hybrid_shards > 1:
+        raise SystemExit("--tp_shards/--sp and --hybrid_shards are exclusive")
+    args.sp_axis = "model" if args.sp else None
+    args.bn_axis_name = "data" if ((args.dp_shards > 1 and not args.use_gspmd)
+                                   or args.hybrid_shards > 1) else None
     args.graph_reduce_axis = "data" if args.hybrid_shards > 1 else None
+    # GSPMD consumes ONE logical batch (jit shards it over 'data'); only the
+    # shard_map DP path wants loader-side stacked shard batches
+    args.loader_shards = 1 if args.use_gspmd else args.dp_shards
     if args.hybrid_shards > 1:
         if args.dp_shards > 1:
             raise SystemExit("--hybrid_shards and --dp_shards are exclusive")
@@ -192,13 +216,13 @@ def main():
         for split in ("train", "test"):
             bundle.splits[split] = [data_transform(g) for g in bundle.splits[split]]
 
-    loaders = make_loaders(bundle, args, num_shards=args.dp_shards)
+    loaders = make_loaders(bundle, args, num_shards=args.loader_shards)
 
     def run(run_id):
         nonlocal bundle, loaders
         if getattr(dataset_util, "resplit_per_run", False) and run_id > 0:
             bundle = dataset_util.preprocess(args, model_cls, seed=(args.seed or 0) + run_id)
-            loaders = make_loaders(bundle, args, num_shards=args.dp_shards)
+            loaders = make_loaders(bundle, args, num_shards=args.loader_shards)
         train_loader, train_eval, valid_loader, test_loader = loaders
 
         node_encoder = bundle.node_encoder_cls()
@@ -240,6 +264,14 @@ def main():
                                               model_cls.gnn_subtree)
             logger.info(f"loaded pretrained GNN from {args.pretrained_gnn}")
 
+        mesh = None
+        if args.use_gspmd:
+            from graphtrans_tpu.parallel import gspmd
+            from graphtrans_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(dp=args.dp_shards, tp=args.tp_shards)
+            params = gspmd.shard_params(params, mesh)
+
         steps_per_epoch = max(len(train_loader), 1)
         tx, uses_plateau = build_optimizer(args, steps_per_epoch)
         state = TrainState.create(params, batch_stats, tx.init(params))
@@ -264,6 +296,17 @@ def main():
                                          deg=bundle.deg)
             fwd = jax.jit(lambda params, batch_stats, batch: eval_model.apply(
                 {"params": params, "batch_stats": batch_stats}, batch, None, False))
+        elif args.use_gspmd:
+            from graphtrans_tpu.parallel import gspmd
+
+            step_inner = gspmd.make_gspmd_train_step(
+                trainer, model, calc_loss, tx, args, model_cls.gnn_subtree,
+                mesh)
+
+            def step_fn(state, batch, rng):
+                return step_inner(state, gspmd.place_batch(batch, mesh), rng)
+
+            fwd = gspmd.make_gspmd_eval_fn(model, mesh)
         elif args.dp_shards > 1:
             from graphtrans_tpu.parallel.dp import make_dp_train_step, make_dp_eval_fn
 

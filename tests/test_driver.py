@@ -173,3 +173,20 @@ def test_driver_flag_with_dp(tmp_path):
         "--gnn_type", "gin", "--graph_pooling", "cls",
         "--aug", "flag", "--dp_shards", "2"] + SMALL)
     assert 0.0 <= val <= 1.0
+
+
+def test_driver_gspmd_tp_sp(tmp_path):
+    """--tp_shards/--sp from the CLI: GSPMD dp×tp mesh with sequence-parallel
+    transformer activations trains and evals end-to-end."""
+    val, test = run_main(tmp_path, [
+        "--dataset", "NCI1", "--model_type", "gnn-transformer",
+        "--graph_pooling", "cls", "--scheduler", "cosine",
+        "--dp_shards", "2", "--tp_shards", "2", "--sp"] + SMALL)
+    assert 0.0 <= val <= 1.0
+
+
+def test_driver_sp_requires_tp(tmp_path):
+    with pytest.raises(SystemExit):
+        run_main(tmp_path, [
+            "--dataset", "NCI1", "--model_type", "gnn-transformer",
+            "--sp"] + SMALL)
