@@ -8,32 +8,26 @@ the first __EOS__.
 
 from __future__ import annotations
 
+from collections import Counter
+
 import numpy as np
 
 
 def get_vocab_mapping(seq_list, num_vocab):
-    vocab_cnt: dict = {}
-    vocab_list: list = []
+    """Build (vocab2idx, idx2vocab): the `num_vocab` most frequent tokens in
+    descending count order, ties broken by FIRST APPEARANCE in the corpus
+    (Counter preserves insertion order and Python's sort is stable, which is
+    exactly the tie-break the reference's stable argsort over
+    appearance-ordered counts produces — vocab ids must match bit-for-bit
+    for checkpoint/eval parity). `__UNK__` and `__EOS__` are appended after,
+    in that order, so `__EOS__` is always the last id."""
+    counts: Counter = Counter()
     for seq in seq_list:
-        for w in seq:
-            if w in vocab_cnt:
-                vocab_cnt[w] += 1
-            else:
-                vocab_cnt[w] = 1
-                vocab_list.append(w)
-    cnt_list = np.array([vocab_cnt[w] for w in vocab_list])
-    topvocab = np.argsort(-cnt_list, kind="stable")[:num_vocab]
-
-    vocab2idx = {vocab_list[v]: i for i, v in enumerate(topvocab)}
-    idx2vocab = [vocab_list[v] for v in topvocab]
-    vocab2idx["__UNK__"] = len(idx2vocab)
-    idx2vocab.append("__UNK__")
-    vocab2idx["__EOS__"] = len(idx2vocab)
-    idx2vocab.append("__EOS__")
-
-    for idx, vocab in enumerate(idx2vocab):
-        assert idx == vocab2idx[vocab]
-    assert vocab2idx["__EOS__"] == len(idx2vocab) - 1
+        counts.update(seq)
+    idx2vocab = sorted(counts, key=counts.__getitem__, reverse=True)[:num_vocab]
+    idx2vocab += ["__UNK__", "__EOS__"]
+    vocab2idx = {w: i for i, w in enumerate(idx2vocab)}
+    assert len(vocab2idx) == len(idx2vocab), "reserved token clash in corpus"
     return vocab2idx, idx2vocab
 
 

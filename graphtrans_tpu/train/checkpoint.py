@@ -1,11 +1,14 @@
 """Checkpoint / resume.
 
 Replaces torch.save state_dict blobs (/root/reference/main.py:249-260) with
-orbax-checkpointed pytrees {params, batch_stats, opt_state, epoch, scheduler
-state}; per run-id directories `<save_path>/<run_id>/{last,best}_model`;
-auto-resume when the last checkpoint exists (main.py:198-208). A separate
-pretrained-GNN partial restore grafts only the gnn subtree
-(gnn_transformer.py:61-66,137-146)."""
+host-gathered pytree pickles {params, batch_stats, opt_state, epoch,
+scheduler state} written atomically (tmp + rename); per run-id directories
+`<save_path>/<run_id>/{last,best}_model.ckpt`; auto-resume when the last
+checkpoint exists (main.py:198-208). A separate pretrained-GNN partial
+restore grafts only the gnn subtree (gnn_transformer.py:61-66,137-146).
+Sharded TrainStates (GSPMD dp×tp) round-trip through the same path: leaves
+are gathered to host numpy on save and re-placed by jit on the first step
+after restore."""
 
 from __future__ import annotations
 

@@ -199,3 +199,16 @@ def test_loader_drops_oversized_without_duplication(rng):
         seen.extend(np.asarray(b.graph_ids)[np.asarray(b.graph_mask)].tolist())
     assert sorted(seen) == [i for i in range(20) if i not in (0, 7)]
     assert len(seen) == len(set(seen))
+
+
+def test_vocab_tiebreak_first_appearance():
+    """Equal-count tokens must rank by first corpus appearance (pins the
+    reference's stable-argsort tie-break, dataset/utils.py:33-86 — vocab ids
+    feed checkpoints and eval decoding, so the order is load-bearing)."""
+    seqs = [["zz", "aa", "mm"], ["aa", "zz", "mm"], ["qq"]]
+    # counts: zz=2, aa=2, mm=2, qq=1 — all ties resolve by appearance order
+    vocab2idx, idx2vocab = get_vocab_mapping(seqs, 10)
+    assert idx2vocab[:4] == ["zz", "aa", "mm", "qq"]
+    # truncation keeps the earlier-appearing token among equals
+    _, top2 = get_vocab_mapping(seqs, 2)
+    assert top2 == ["zz", "aa", "__UNK__", "__EOS__"]
