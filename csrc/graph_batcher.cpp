@@ -8,16 +8,26 @@
 // stable counting-sort CSR ordering, front-truncation ("keep last S nodes")
 // semantics identical to data/batch.py::collate.
 //
-// v2 (gt_collate2) also RESETS the output buffers itself (memset/fill), so
-// callers can keep a ring of reusable buffer sets instead of allocating
-// fresh zeroed arrays per batch, and fills labels (y int/float, y_arr) in
-// the same pass.
+// v3 (gt_collate3) parallelizes the assembly across threads: a serial
+// prefix pass computes per-graph node/edge destinations (so every graph's
+// output region is known up front), then worker threads each own a
+// contiguous range of graphs — feature copies, masks, labels, and a
+// PER-GRAPH stable counting sort of edges by destination (identical output
+// order to a global stable sort, because graph blocks occupy disjoint,
+// increasing destination ranges). Padding tails are reset in a second
+// parallel sweep, and ONLY the tails: every element of the used prefix is
+// written by the assembly, so the old full-capacity memset (which dominated
+// memory traffic at large batch) is gone. Labels (y int/float, y_arr) are
+// filled in the same pass.
 //
 // Exposed via a plain C ABI for ctypes (no pybind11 in this image).
+// gt_collate2 (single-threaded v2 signature) is kept as a shim.
 
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <functional>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -27,13 +37,32 @@ void fill(T* p, int64_t n, T v) {
     for (int64_t i = 0; i < n; ++i) p[i] = v;
 }
 
+void run_parallel(int nt, const std::function<void(int)>& fn) {
+    if (nt <= 1) {
+        fn(0);
+        return;
+    }
+    std::vector<std::thread> ts;
+    ts.reserve(nt - 1);
+    for (int t = 1; t < nt; ++t) ts.emplace_back(fn, t);
+    fn(0);
+    for (auto& th : ts) th.join();
+}
+
+// [lo, hi) split into `nt` near-equal slices; returns slice t
+inline void slice(int64_t lo, int64_t hi, int nt, int t, int64_t* a, int64_t* b) {
+    const int64_t n = hi - lo;
+    *a = lo + n * t / nt;
+    *b = lo + n * (t + 1) / nt;
+}
+
 }  // namespace
 
 extern "C" {
 
 // Returns 0 on success, negative error codes on capacity violation.
 //  -1: node capacity exceeded, -2: edge capacity, -3: graph capacity
-int gt_collate2(
+int gt_collate3(
     // dataset (packed, row-major)
     const int64_t* node_offsets,   // [num_total_graphs + 1]
     const int64_t* edge_offsets,   // [num_total_graphs + 1]
@@ -55,7 +84,7 @@ int gt_collate2(
     int64_t num_sel,
     // capacities
     int64_t n_cap, int64_t e_cap, int64_t g_cap, int64_t dense_s,
-    // outputs (reset HERE — safe to reuse across batches)
+    // outputs (tails reset HERE — safe to reuse across batches)
     uint8_t* node_feat_out,        // [n_cap, feat_row_bytes]
     int32_t* node_graph,           // [n_cap]
     int32_t* node_pos,             // [n_cap]
@@ -70,95 +99,176 @@ int gt_collate2(
     int32_t* graph_ids_out,        // [g_cap]
     int32_t* y_int_out,            // [g_cap] or nullptr
     float* y_float_out,            // [g_cap, t_float] or nullptr
-    int32_t* y_arr_out             // [g_cap, t_arr] or nullptr
+    int32_t* y_arr_out,            // [g_cap, t_arr] or nullptr
+    int64_t num_threads
 ) {
     if (num_sel > g_cap) return -3;
 
-    // ---- resets ----
-    std::memset(node_feat_out, 0, (size_t)(n_cap * feat_row_bytes));
-    fill(node_graph, n_cap, (int32_t)(g_cap - 1));
-    std::memset(node_pos, 0, (size_t)n_cap * sizeof(int32_t));
-    std::memset(node_mask, 0, (size_t)n_cap);
-    std::memset(node_depth_out, 0, (size_t)n_cap * sizeof(int32_t));
-    fill(edge_src_out, e_cap, (int32_t)(n_cap - 1));
-    fill(edge_dst_out, e_cap, (int32_t)(n_cap - 1));
-    if (edge_row_bytes > 0)
-        std::memset(edge_attr_out, 0, (size_t)(e_cap * edge_row_bytes));
-    std::memset(edge_mask, 0, (size_t)e_cap);
-    std::memset(graph_mask, 0, (size_t)g_cap);
-    std::memset(num_nodes, 0, (size_t)g_cap * sizeof(int32_t));
-    fill(graph_ids_out, g_cap, (int32_t)-1);
-    if (y_int_out) std::memset(y_int_out, 0, (size_t)g_cap * sizeof(int32_t));
-    if (y_float_out) {
-        const float nanv = std::nanf("");
-        fill(y_float_out, g_cap * t_float, nanv);
-    }
-    if (y_arr_out)
-        std::memset(y_arr_out, 0, (size_t)(g_cap * t_arr) * sizeof(int32_t));
-
-    // ---- assembly ----
-    int64_t node_off = 0, edge_off = 0;
-    std::vector<int32_t> src_tmp, dst_tmp;
-    std::vector<int64_t> eid_tmp;
-
+    // ---- serial prefix pass: per-graph output bases + capacity checks ----
+    std::vector<int64_t> node_base((size_t)num_sel + 1);
+    std::vector<int64_t> edge_base((size_t)num_sel + 1);
+    int64_t max_n = 0;
+    node_base[0] = edge_base[0] = 0;
     for (int64_t k = 0; k < num_sel; ++k) {
         const int64_t g = graph_indices[k];
-        const int64_t n0 = node_offsets[g], n1 = node_offsets[g + 1];
-        const int64_t e0 = edge_offsets[g], e1 = edge_offsets[g + 1];
-        const int64_t n = n1 - n0, e = e1 - e0;
-        if (node_off + n > n_cap) return -1;
-        if (edge_off + e > e_cap) return -2;
+        const int64_t n = node_offsets[g + 1] - node_offsets[g];
+        const int64_t e = edge_offsets[g + 1] - edge_offsets[g];
+        node_base[k + 1] = node_base[k] + n;
+        edge_base[k + 1] = edge_base[k] + e;
+        if (n > max_n) max_n = n;
+    }
+    const int64_t n_used = node_base[num_sel];
+    const int64_t e_used = edge_base[num_sel];
+    if (n_used > n_cap) return -1;
+    if (e_used > e_cap) return -2;
 
-        std::memcpy(node_feat_out + node_off * feat_row_bytes,
-                    node_feat_in + n0 * feat_row_bytes,
-                    (size_t)(n * feat_row_bytes));
-        const int64_t keep = n < dense_s ? n : dense_s;
-        for (int64_t j = 0; j < n; ++j) {
-            node_graph[node_off + j] = (int32_t)k;
-            node_mask[node_off + j] = 1;
-            // keep the LAST `keep` nodes; earlier ones go to the trash column
-            const int64_t rel = j - (n - keep);
-            node_pos[node_off + j] = (int32_t)(rel >= 0 ? rel : dense_s);
-            if (node_depth_in)
-                node_depth_out[node_off + j] = node_depth_in[n0 + j];
+    int nt = (int)num_threads;
+    if (nt < 1) nt = 1;
+    if (nt > num_sel && num_sel > 0) nt = (int)num_sel;
+
+    // contiguous graph ranges balanced by node count
+    std::vector<int64_t> gcut((size_t)nt + 1, num_sel);
+    gcut[0] = 0;
+    {
+        int64_t k = 0;
+        for (int t = 1; t < nt; ++t) {
+            const int64_t target = n_used * t / nt;
+            while (k < num_sel && node_base[k] < target) ++k;
+            gcut[t] = k;
         }
-        for (int64_t j = 0; j < e; ++j) {
-            src_tmp.push_back((int32_t)(edge_src_in[e0 + j] + node_off));
-            dst_tmp.push_back((int32_t)(edge_dst_in[e0 + j] + node_off));
-            eid_tmp.push_back(e0 + j);
-        }
-        graph_mask[k] = 1;
-        num_nodes[k] = (int32_t)n;
-        graph_ids_out[k] = (int32_t)g;
-        if (y_int_in && y_int_out) y_int_out[k] = y_int_in[g];
-        if (y_float_in && y_float_out)
-            std::memcpy(y_float_out + k * t_float, y_float_in + g * t_float,
-                        (size_t)(t_float * sizeof(float)));
-        if (y_arr_in && y_arr_out)
-            std::memcpy(y_arr_out + k * t_arr, y_arr_in + g * t_arr,
-                        (size_t)(t_arr * sizeof(int32_t)));
-        node_off += n;
-        edge_off += e;
     }
 
-    // stable counting sort of edges by destination -> contiguous CSR runs
-    const int64_t n_used = node_off;
-    const int64_t e_used = (int64_t)src_tmp.size();
-    std::vector<int32_t> count((size_t)n_used + 1, 0);
-    for (int64_t j = 0; j < e_used; ++j) count[(size_t)dst_tmp[j]]++;
-    std::vector<int64_t> pos((size_t)n_used + 1, 0);
-    for (int64_t v = 1; v <= n_used; ++v) pos[v] = pos[v - 1] + count[v - 1];
-    for (int64_t j = 0; j < e_used; ++j) {
-        const int64_t slot = pos[(size_t)dst_tmp[j]]++;
-        edge_src_out[slot] = src_tmp[j];
-        edge_dst_out[slot] = dst_tmp[j];
-        edge_mask[slot] = 1;
+    // ---- parallel assembly: each thread owns graphs [gcut[t], gcut[t+1]) ----
+    run_parallel(nt, [&](int t) {
+        std::vector<int32_t> count((size_t)max_n + 1);
+        for (int64_t k = gcut[t]; k < gcut[t + 1]; ++k) {
+            const int64_t g = graph_indices[k];
+            const int64_t n0 = node_offsets[g];
+            const int64_t e0 = edge_offsets[g];
+            const int64_t n = node_offsets[g + 1] - n0;
+            const int64_t e = edge_offsets[g + 1] - e0;
+            const int64_t nb = node_base[k], eb = edge_base[k];
+
+            std::memcpy(node_feat_out + nb * feat_row_bytes,
+                        node_feat_in + n0 * feat_row_bytes,
+                        (size_t)(n * feat_row_bytes));
+            const int64_t keep = n < dense_s ? n : dense_s;
+            for (int64_t j = 0; j < n; ++j) {
+                node_graph[nb + j] = (int32_t)k;
+                node_mask[nb + j] = 1;
+                // keep the LAST `keep` nodes; earlier ones -> trash column
+                const int64_t rel = j - (n - keep);
+                node_pos[nb + j] = (int32_t)(rel >= 0 ? rel : dense_s);
+                node_depth_out[nb + j] = node_depth_in ? node_depth_in[n0 + j] : 0;
+            }
+
+            // stable counting sort of this graph's edges by LOCAL dst
+            // (graph blocks occupy disjoint increasing dst ranges, so the
+            // concatenation equals the old global stable sort exactly)
+            std::memset(count.data(), 0, (size_t)(n + 1) * sizeof(int32_t));
+            for (int64_t j = 0; j < e; ++j) count[(size_t)edge_dst_in[e0 + j]]++;
+            int32_t run = 0;
+            for (int64_t v = 0; v < n; ++v) {
+                const int32_t c = count[(size_t)v];
+                count[(size_t)v] = run;
+                run += c;
+            }
+            for (int64_t j = 0; j < e; ++j) {
+                const int64_t dl = edge_dst_in[e0 + j];
+                const int64_t slot = eb + (count[(size_t)dl]++);
+                edge_src_out[slot] = (int32_t)(edge_src_in[e0 + j] + nb);
+                edge_dst_out[slot] = (int32_t)(dl + nb);
+                edge_mask[slot] = 1;
+                if (edge_attr_in && edge_row_bytes > 0)
+                    std::memcpy(edge_attr_out + slot * edge_row_bytes,
+                                edge_attr_in + (e0 + j) * edge_row_bytes,
+                                (size_t)edge_row_bytes);
+            }
+
+            graph_mask[k] = 1;
+            num_nodes[k] = (int32_t)n;
+            graph_ids_out[k] = (int32_t)g;
+            if (y_int_out) y_int_out[k] = y_int_in ? y_int_in[g] : 0;
+            if (y_float_out) {
+                if (y_float_in)
+                    std::memcpy(y_float_out + k * t_float,
+                                y_float_in + g * t_float,
+                                (size_t)(t_float * sizeof(float)));
+                else
+                    fill(y_float_out + k * t_float, t_float, std::nanf(""));
+            }
+            if (y_arr_out) {
+                if (y_arr_in)
+                    std::memcpy(y_arr_out + k * t_arr, y_arr_in + g * t_arr,
+                                (size_t)(t_arr * sizeof(int32_t)));
+                else
+                    std::memset(y_arr_out + k * t_arr, 0,
+                                (size_t)(t_arr * sizeof(int32_t)));
+            }
+        }
+    });
+
+    // ---- parallel tail resets (ONLY the padding regions) ----
+    run_parallel(nt, [&](int t) {
+        int64_t a, b;
+        slice(n_used, n_cap, nt, t, &a, &b);
+        std::memset(node_feat_out + a * feat_row_bytes, 0,
+                    (size_t)((b - a) * feat_row_bytes));
+        fill(node_graph + a, b - a, (int32_t)(g_cap - 1));
+        std::memset(node_pos + a, 0, (size_t)(b - a) * sizeof(int32_t));
+        std::memset(node_mask + a, 0, (size_t)(b - a));
+        std::memset(node_depth_out + a, 0, (size_t)(b - a) * sizeof(int32_t));
+
+        slice(e_used, e_cap, nt, t, &a, &b);
+        fill(edge_src_out + a, b - a, (int32_t)(n_cap - 1));
+        fill(edge_dst_out + a, b - a, (int32_t)(n_cap - 1));
+        std::memset(edge_mask + a, 0, (size_t)(b - a));
         if (edge_attr_in && edge_row_bytes > 0)
-            std::memcpy(edge_attr_out + slot * edge_row_bytes,
-                        edge_attr_in + eid_tmp[j] * edge_row_bytes,
-                        (size_t)edge_row_bytes);
-    }
+            std::memset(edge_attr_out + a * edge_row_bytes, 0,
+                        (size_t)((b - a) * edge_row_bytes));
+
+        slice(num_sel, g_cap, nt, t, &a, &b);
+        std::memset(graph_mask + a, 0, (size_t)(b - a));
+        std::memset(num_nodes + a, 0, (size_t)(b - a) * sizeof(int32_t));
+        fill(graph_ids_out + a, b - a, (int32_t)-1);
+        if (y_int_out)
+            std::memset(y_int_out + a, 0, (size_t)(b - a) * sizeof(int32_t));
+        if (y_float_out)
+            fill(y_float_out + a * t_float, (b - a) * t_float, std::nanf(""));
+        if (y_arr_out)
+            std::memset(y_arr_out + a * t_arr, 0,
+                        (size_t)((b - a) * t_arr) * sizeof(int32_t));
+    });
+
     return 0;
+}
+
+// v2 compatibility shim: single-threaded, full signature minus num_threads.
+int gt_collate2(
+    const int64_t* node_offsets, const int64_t* edge_offsets,
+    const uint8_t* node_feat_in, int64_t feat_row_bytes,
+    const int64_t* edge_src_in, const int64_t* edge_dst_in,
+    const uint8_t* edge_attr_in, int64_t edge_row_bytes,
+    const int32_t* node_depth_in,
+    const int32_t* y_int_in, const float* y_float_in, int64_t t_float,
+    const int32_t* y_arr_in, int64_t t_arr,
+    const int64_t* graph_indices, int64_t num_sel,
+    int64_t n_cap, int64_t e_cap, int64_t g_cap, int64_t dense_s,
+    uint8_t* node_feat_out, int32_t* node_graph, int32_t* node_pos,
+    uint8_t* node_mask, int32_t* node_depth_out,
+    int32_t* edge_src_out, int32_t* edge_dst_out, uint8_t* edge_attr_out,
+    uint8_t* edge_mask, uint8_t* graph_mask, int32_t* num_nodes,
+    int32_t* graph_ids_out,
+    int32_t* y_int_out, float* y_float_out, int32_t* y_arr_out
+) {
+    return gt_collate3(
+        node_offsets, edge_offsets, node_feat_in, feat_row_bytes,
+        edge_src_in, edge_dst_in, edge_attr_in, edge_row_bytes, node_depth_in,
+        y_int_in, y_float_in, t_float, y_arr_in, t_arr,
+        graph_indices, num_sel, n_cap, e_cap, g_cap, dense_s,
+        node_feat_out, node_graph, node_pos, node_mask, node_depth_out,
+        edge_src_out, edge_dst_out, edge_attr_out, edge_mask, graph_mask,
+        num_nodes, graph_ids_out, y_int_out, y_float_out, y_arr_out, 1);
 }
 
 }  // extern "C"

@@ -44,13 +44,30 @@ class GraphLoader:
         num_shards: int = 1,
         use_native: bool = True,
         collate_workers: int = 1,
+        native_threads: int = 0,
         hybrid_shards: int = 0,
     ):
         self.collate_workers = collate_workers
+        # intra-batch parallelism INSIDE the native collate call (the call
+        # releases the GIL, so this scales with cores where Python-thread
+        # multi-batch collation cannot); 0 = auto by batch size
+        if native_threads <= 0:
+            import os
+
+            native_threads = (
+                min(4, os.cpu_count() or 1) if batch_size >= 256 else 1
+            )
+        self.native_threads = native_threads
         # hybrid node-sharded mode: each batch is halo-partitioned into
         # per-chip local views (parallel/hybrid.py)
         self.hybrid_shards = hybrid_shards
         self.graphs = [dict(g, _id=i) for i, g in enumerate(graphs)]
+        # size table for the vectorized planning pass (numpy cumsum per
+        # batch instead of a Python loop over every graph every epoch)
+        self._sizes_n = np.array(
+            [int(g["x"].shape[0]) for g in self.graphs], np.int64)
+        self._sizes_e = np.array(
+            [int(g["edge_index"].shape[1]) for g in self.graphs], np.int64)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
@@ -102,47 +119,48 @@ class GraphLoader:
 
     def _plan_chunks(self, order):
         """Size-only planning pass: split the epoch's graph sequence into
-        per-batch lists honoring the caps. `consumed` counts every graph
-        taken OR dropped so nothing is duplicated (a dropped graph must not
-        reappear — and an oversized first graph must not requeue forever)."""
-        queue = [self.graphs[i] for i in order]
-        plans = []
-        while queue:
-            chunk, queue = queue[: self.batch_size], queue[self.batch_size:]
-            kept, n_tot, e_tot, consumed = [], 0, 0, 0
-            for g in chunk:
-                n, e = g["x"].shape[0], g["edge_index"].shape[1]
-                if n > self.node_cap or e > self.edge_cap:
-                    if self.drop_overflow:
-                        # never silently narrow coverage ("no silent caps")
-                        from ..utils.logging import logger
+        per-batch index arrays honoring the caps. Oversized graphs are
+        dropped (loudly) up front; each chunk takes up to batch_size graphs
+        and breaks early at the first cumulative cap violation (the sizes
+        are nonnegative, so the fit mask is a prefix and the break point is
+        its count). Vectorized: numpy cumsums per batch instead of a Python
+        loop over every graph every epoch."""
+        n_arr = self._sizes_n[order]
+        e_arr = self._sizes_e[order]
+        over = (n_arr > self.node_cap) | (e_arr > self.edge_cap)
+        if over.any():
+            if not self.drop_overflow:
+                raise ValueError("graph exceeds fixed caps")
+            # never silently narrow coverage ("no silent caps")
+            from ..utils.logging import logger
 
-                        logger.warning(
-                            f"dropping graph id={g.get('_id')} ({n} nodes/{e} "
-                            f"edges) exceeding caps "
-                            f"({self.node_cap}/{self.edge_cap})"
-                        )
-                        consumed += 1
-                        continue
-                    raise ValueError("graph exceeds fixed caps")
-                if n_tot + n > self.node_cap or e_tot + e > self.edge_cap:
-                    break
-                kept.append(g)
-                consumed += 1
-                n_tot += n
-                e_tot += e
-            queue = chunk[consumed:] + queue
-            if kept:
-                plans.append(kept)
+            for i in order[over]:
+                logger.warning(
+                    f"dropping graph id={i} ({self._sizes_n[i]} nodes/"
+                    f"{self._sizes_e[i]} edges) exceeding caps "
+                    f"({self.node_cap}/{self.edge_cap})"
+                )
+            keep = ~over
+            order, n_arr, e_arr = order[keep], n_arr[keep], e_arr[keep]
+        plans = []
+        i, total = 0, len(order)
+        while i < total:
+            j = min(i + self.batch_size, total)
+            cn = np.cumsum(n_arr[i:j])
+            ce = np.cumsum(e_arr[i:j])
+            k = int(np.count_nonzero(
+                (cn <= self.node_cap) & (ce <= self.edge_cap)))
+            plans.append(np.asarray(order[i:i + k], np.int64))
+            i += k
         return plans
 
-    def _collate_kept(self, kept):
+    def _collate_kept(self, plan):
         if self.packed is not None:
-            batch = self._native_collate(kept)
+            batch = self._native_collate(plan)
             if batch is not None:
                 return batch
         return collate(
-            kept,
+            [self.graphs[i] for i in plan],
             num_graphs_cap=self.batch_size + 1,
             num_nodes_cap=self.node_cap,
             num_edges_cap=self.edge_cap,
@@ -154,15 +172,15 @@ class GraphLoader:
             dense_cap=self.dense_cap,
         )
 
-    def _native_collate(self, kept):
+    def _native_collate(self, plan):
         from . import native
 
         G = self.batch_size + 1
         S = min(self.dense_cap, self.max_input_len)
-        idx = np.array([g["_id"] for g in kept], np.int64)
         raw = native.native_collate(
-            self.packed, idx, self.node_cap, self.edge_cap, G, S,
+            self.packed, plan, self.node_cap, self.edge_cap, G, S,
             buffers=self._ring.next() if self._ring else None,
+            num_threads=self.native_threads,
         )
         if raw is None:
             return None

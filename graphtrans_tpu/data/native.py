@@ -47,9 +47,9 @@ def _load_lib(build_if_missing: bool = True):
     if not os.path.exists(so):
         return None
     lib = ctypes.CDLL(so)
-    if not hasattr(lib, "gt_collate2"):
+    if not hasattr(lib, "gt_collate3"):
         return None
-    lib.gt_collate2.restype = ctypes.c_int
+    lib.gt_collate3.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -168,9 +168,12 @@ def _ptr(a: Optional[np.ndarray]):
 
 def native_collate(packed: PackedDataset, indices: np.ndarray,
                    n_cap: int, e_cap: int, g_cap: int, dense_s: int,
-                   buffers: Optional[BatchBuffers] = None):
+                   buffers: Optional[BatchBuffers] = None,
+                   num_threads: int = 1):
     """Run the native batcher; returns the output arrays (views of `buffers`
-    when given) or None if unavailable / capacity violated."""
+    when given) or None if unavailable / capacity violated. `num_threads`
+    parallelizes the assembly inside the call (the call releases the GIL, so
+    this scales with cores independent of Python)."""
     lib = _load_lib()
     if lib is None:
         return None
@@ -181,7 +184,7 @@ def native_collate(packed: PackedDataset, indices: np.ndarray,
     t_arr = packed.y_arr.shape[1] if packed.y_arr is not None else 0
 
     idx = np.ascontiguousarray(indices, np.int64)
-    rc = lib.gt_collate2(
+    rc = lib.gt_collate3(
         _ptr(packed.node_offsets), _ptr(packed.edge_offsets),
         _ptr(packed.node_feat), ctypes.c_int64(feat_row),
         _ptr(packed.edge_src), _ptr(packed.edge_dst),
@@ -198,6 +201,7 @@ def native_collate(packed: PackedDataset, indices: np.ndarray,
         _ptr(b.edge_mask), _ptr(b.graph_mask), _ptr(b.num_nodes),
         _ptr(b.graph_ids),
         _ptr(b.y_int), _ptr(b.y_float), _ptr(b.y_arr),
+        ctypes.c_int64(max(1, num_threads)),
     )
     if rc != 0:
         return None

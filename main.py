@@ -57,7 +57,9 @@ def build_parser():
     group.add_argument("--batch_size", type=int, default=128)
     group.add_argument("--eval_batch_size", type=int, default=None)
     group.add_argument("--epochs", type=int, default=30)
-    group.add_argument("--num_workers", type=int, default=0)
+    group.add_argument("--num_workers", type=int, default=0,
+                       help="host collation parallelism (threads inside the "
+                            "native batcher; 0 = auto by batch size)")
     group.add_argument("--scheduler", type=str, default=None)
     group.add_argument("--pct_start", type=float, default=0.3)
     group.add_argument("--weight_decay", type=float, default=0.0)
@@ -114,6 +116,9 @@ def make_loaders(bundle, args, num_shards=1):
         with_dense_adj=with_adj,
         fixed_caps=caps,
         hybrid_shards=getattr(args, "hybrid_shards", 1),
+        # reference --num_workers (DataLoader worker processes) maps to
+        # native collation threads here (0 = auto by batch size)
+        native_threads=getattr(args, "num_workers", 0),
     )
     train_loader = GraphLoader(bundle.splits["train"], args.batch_size,
                                shuffle=True, seed=args.seed or 0,

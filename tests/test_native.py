@@ -66,3 +66,47 @@ def test_native_truncation():
     )
     for bn, bp in zip(native_batches, python_batches):
         _assert_equal(bn, bp)
+
+
+def test_native_threaded_matches_python():
+    """Multi-threaded native assembly (per-graph counting sort + tail-only
+    resets) must stay bit-identical to the single-threaded python collate."""
+    graphs = make_mol_dataset(num_graphs=200, num_tasks=8, seed=9)
+    ln = GraphLoader(graphs, 64, num_tasks=8, y_dtype="float32",
+                     use_native=True, native_threads=4)
+    lp = GraphLoader(graphs, 64, num_tasks=8, y_dtype="float32",
+                     use_native=False)
+    assert ln.packed is not None and ln.native_threads == 4
+    for bn, bp in zip(list(iter(ln)), list(iter(lp))):
+        _assert_equal(bn, bp)
+
+
+def test_native_buffer_ring_reuse_stays_clean():
+    """Reused ring buffers must not leak stale data between batches of very
+    different sizes (tail-only resets cover exactly the padding)."""
+    from graphtrans_tpu.data import native as nat
+    from graphtrans_tpu.data.batch import collate
+
+    graphs = make_tu_dataset(num_graphs=60, min_nodes=4, max_nodes=40, seed=3)
+    gid = [dict(g, _id=i) for i, g in enumerate(graphs)]
+    packed = nat.PackedDataset(gid)
+    n_cap, e_cap, g_cap = 1024, 4096, 33
+    ring = nat.BufferRing(packed, n_cap, e_cap, g_cap, size=2)
+    big = np.arange(32, dtype=np.int64)
+    small = np.array([40, 41], dtype=np.int64)
+    # fill both ring slots with BIG batches, then collate small ones into them
+    for _ in range(2):
+        nat.native_collate(packed, big, n_cap, e_cap, g_cap, 1000,
+                           buffers=ring.next(), num_threads=3)
+    for sel in (small, small):
+        raw = nat.native_collate(packed, sel, n_cap, e_cap, g_cap, 1000,
+                                 buffers=ring.next(), num_threads=3)
+        ref = collate([gid[i] for i in sel], g_cap, n_cap, e_cap)
+        np.testing.assert_array_equal(raw["node_feat"], np.asarray(ref.node_feat))
+        np.testing.assert_array_equal(raw["node_mask"], np.asarray(ref.node_mask))
+        np.testing.assert_array_equal(raw["edge_src"], np.asarray(ref.edge_src))
+        np.testing.assert_array_equal(raw["edge_dst"], np.asarray(ref.edge_dst))
+        np.testing.assert_array_equal(raw["edge_mask"], np.asarray(ref.edge_mask))
+        np.testing.assert_array_equal(raw["graph_mask"], np.asarray(ref.graph_mask))
+        np.testing.assert_array_equal(raw["node_graph"], np.asarray(ref.node_graph))
+        np.testing.assert_array_equal(raw["num_nodes"], np.asarray(ref.num_nodes))
