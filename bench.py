@@ -79,6 +79,37 @@ def build(batch_size=256, nodes_per=26, emb=256, seed=0, precision="f32"):
     return state, step, batch
 
 
+def flagship_flops(batch, emb=256, d_model=128, ff=512, nhead=4,
+                   gnn_layers=4, enc_layers=4, num_tasks=128):
+    """Analytic matmul FLOPs for one train step of the bench flagship
+    (GIN-virtual JK=cat -> CLS transformer), fwd + bwd (=3x fwd for matmuls).
+    Returns (executed, useful): executed counts the PADDED shapes the
+    hardware actually runs (utilization lens), useful counts valid
+    rows/edges only (goodput lens). Elementwise gather/scatter/BN work is
+    excluded (it is bandwidth-, not FLOP-, bound)."""
+    Np = int(np.asarray(batch.node_mask).shape[0])
+    Nv = int(np.asarray(batch.node_mask).sum())
+    Gp = int(np.asarray(batch.graph_mask).shape[0])
+    Gv = int(np.asarray(batch.graph_mask).sum())
+    S = int(batch.max_nodes_dense) + 1  # +CLS
+
+    def fwd(N, G):
+        gin_mlp = gnn_layers * (2 * N * emb * 2 * emb * 2)       # d->2d->d
+        vn_mlp = max(gnn_layers - 1, 0) * (2 * G * emb * 2 * emb * 2)
+        bridge = N * (2 * emb) * d_model * 2                      # JK=cat
+        tok = G * S
+        attn = enc_layers * (
+            tok * d_model * (3 * d_model) * 2      # qkv proj
+            + 2 * (tok * S * d_model * 2)          # scores + AV
+            + tok * d_model * d_model * 2          # out proj
+        )
+        ffw = enc_layers * (2 * tok * d_model * ff * 2)
+        head = G * d_model * num_tasks * 2
+        return gin_mlp + vn_mlp + bridge + attn + ffw + head
+
+    return 3 * fwd(Np, Gp), 3 * fwd(Nv, Gv)
+
+
 def time_steps(step, state, batch, rng, warmup=3, iters=20):
     for _ in range(warmup):
         state, loss = step(state, batch, rng)
@@ -98,6 +129,10 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--batch_size", type=int, default=4096)
     p.add_argument("--precision", type=str, default="f32", choices=["f32", "bf16"])
+    p.add_argument("--peak_tflops", type=float, default=197.0,
+                   help="chip peak for the MFU line (default: TPU v5e "
+                        "bf16 systolic peak; XLA executes f32 matmuls as "
+                        "single-pass bf16 MXU ops here)")
     args = p.parse_args()
 
     from graphtrans_tpu.ops import scatter
@@ -123,6 +158,9 @@ def main():
         sc.gather_message_scatter = orig
     baseline_edges_per_s = edges / dt_naive
 
+    flops_exec, flops_useful = flagship_flops(batch)
+    peak = args.peak_tflops * 1e12
+
     print(json.dumps({
         "metric": "train_edges_per_sec_per_chip",
         "value": round(edges_per_s, 1),
@@ -134,6 +172,13 @@ def main():
             "vs_naive_scatter": round(edges_per_s / baseline_edges_per_s, 3),
             "baseline_note": "vs_baseline uses the documented estimate of the reference stack's GPU throughput (2.4e5 edges/s); vs_naive_scatter is measured on-chip",
             "edges": edges,
+            "mfu": round(flops_exec / dt / peak, 4),
+            "mfu_useful": round(flops_useful / dt / peak, 4),
+            "flops_per_step": flops_exec,
+            "mfu_note": f"analytic matmul FLOPs (fwd+bwd) / step_time / "
+                        f"{args.peak_tflops:.0f} TFLOP/s peak; 'mfu' uses "
+                        "padded shapes the chip executes, 'mfu_useful' "
+                        "valid rows only",
             "device": str(jax.devices()[0]),
         },
     }))

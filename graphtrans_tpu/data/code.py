@@ -74,8 +74,19 @@ def load_code_graphs(root: str, dataset: str):
             pd.read_csv(p, header=None).to_numpy(np.int64)[:, 0]
             if os.path.exists(p) else None
         )
-    num_types = int(node_feat[:, 0].max()) + 1
-    num_attrs = int(node_feat[:, 1].max()) + 1
+    # encoder vocabulary sizes come from OGB's mapping CSVs when present
+    # (headered files, /root/reference/dataset/code.py:103-116 reads
+    # mapping/typeidx2type.csv.gz and mapping/attridx2attr.csv.gz to size
+    # the ASTNodeEncoder); fall back to inferring from the data
+    mapping_dir = os.path.join(root, dataset.replace("-", "_"), "mapping")
+    tpath = os.path.join(mapping_dir, "typeidx2type.csv.gz")
+    apath = os.path.join(mapping_dir, "attridx2attr.csv.gz")
+    if os.path.exists(tpath) and os.path.exists(apath):
+        num_types = len(pd.read_csv(tpath)["type"])
+        num_attrs = len(pd.read_csv(apath)["attr"])
+    else:
+        num_types = int(node_feat[:, 0].max()) + 1
+        num_attrs = int(node_feat[:, 1].max()) + 1
     return graphs, split_idx, num_types, num_attrs
 
 

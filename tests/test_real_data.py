@@ -1,0 +1,96 @@
+"""Raw-CSV reader readiness against the vendored data_snapshots/.
+
+The snapshots (scripts/make_snapshot.py) are written in the exact OGB
+raw-CSV layout the readers consume — including code2's mapping CSVs which
+size the ASTNodeEncoder exactly as the reference does
+(/root/reference/dataset/code.py:103-116). These tests prove the real-data
+path end-to-end (reader -> preprocess -> loader -> train/eval step); with a
+real download dropped under --data_root in the same layout, the identical
+code path runs the quality-parity configs (see README)."""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+SNAP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "data_snapshots")
+
+
+def _args(**over):
+    ns = argparse.Namespace(data_root=SNAP, gnn_emb_dim=16, num_vocab=40,
+                            max_seq_len=5, feature="full",
+                            synthetic_num_graphs=0)
+    for k, v in over.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def test_molpcba_snapshot_loads():
+    from graphtrans_tpu.data.mol import MolUtil, load_ogb_graphs
+
+    graphs, split_idx = load_ogb_graphs(SNAP, "ogbg-molpcba")
+    assert len(graphs) == 240
+    g = graphs[0]
+    assert g["x"].shape[1] == 9 and g["edge_attr"].shape[1] == 3
+    # OGB stores both edge directions
+    ei = set(map(tuple, g["edge_index"].T.tolist()))
+    assert all((b, a) in ei for a, b in ei)
+    assert np.isnan(graphs[0]["y"]).any() and graphs[0]["y"].shape == (128,)
+    assert len(split_idx["train"]) == 192
+
+    args = _args(dataset="ogbg-molpcba")
+    bundle = MolUtil.preprocess(args)
+    assert bundle.num_tasks == 128
+    assert bundle.eval_metric == "ap"
+    assert len(bundle.splits["train"]) == 192
+    assert bundle.deg.shape == (10,) and bundle.deg.sum() > 0
+
+
+def test_molpcba_snapshot_feature_simple():
+    from graphtrans_tpu.data.mol import MolUtil
+
+    bundle = MolUtil.preprocess(_args(dataset="ogbg-molpcba", feature="simple"))
+    assert bundle.splits["train"][0]["x"].shape[1] == 2
+    assert bundle.splits["train"][0]["edge_attr"].shape[1] == 2
+
+
+def test_code2_snapshot_loads_with_mapping_csvs():
+    from graphtrans_tpu.data.code import CodeUtil, load_code_graphs
+
+    graphs, split_idx, num_types, num_attrs = load_code_graphs(SNAP, "ogbg-code2")
+    assert len(graphs) == 120
+    # encoder sizes come from the mapping CSVs, not inference
+    assert num_types == 20 and num_attrs == 31
+    assert graphs[0]["node_depth"].max() >= 1
+    assert graphs[0]["y_seq"], "target sequence missing"
+
+    util = CodeUtil()
+    args = _args(dataset="ogbg-code2")
+    bundle = util.preprocess(args)
+    # num_tasks == vocab size (top tokens + UNK + EOS)
+    assert bundle.num_tasks <= 40 + 2
+    enc = bundle.node_encoder_cls()
+    assert enc.num_nodetypes == 20 and enc.num_nodeattributes == 31
+    # augment_edge ran: 2-dim edge attrs, 4 edge families
+    g = bundle.splits["train"][0]
+    assert g["edge_attr"].shape[1] == 2
+    assert g["y_arr"].shape == (5,)
+
+
+@pytest.mark.parametrize("dataset,extra", [
+    ("ogbg-molpcba", ["--epochs", "1"]),
+    ("ogbg-code2", ["--epochs", "1", "--max_seq_len", "5", "--num_vocab", "40"]),
+])
+def test_driver_trains_on_snapshot(tmp_path, dataset, extra):
+    from tests.test_driver import run_main
+
+    val, test = run_main(tmp_path, [
+        "--dataset", dataset, "--data_root", SNAP,
+        "--model_type", "gnn-transformer", "--graph_pooling", "cls",
+        "--gnn_type", "gin", "--gnn_virtual_node", "--gnn_JK", "cat",
+        "--gnn_num_layer", "2", "--gnn_emb_dim", "16", "--d_model", "16",
+        "--num_encoder_layers", "1", "--dim_feedforward", "32",
+        "--runs", "1", "--batch_size", "32", "--start-eval", "0"] + extra)
+    assert np.isfinite(val)
