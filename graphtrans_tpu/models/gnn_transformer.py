@@ -19,7 +19,7 @@ from ..nn.gnn import GNNNodeEmbedding
 from ..nn.init import TDense
 from ..nn.masked_transformer import MaskedOnlyTransformerEncoder
 from ..nn.transformer import PositionalEncoding, TransformerNodeEncoder
-from ..ops.dense import nodes_to_dense
+from ..ops.dense import maybe_graph_shard, nodes_to_dense
 from .base import ModelSpec
 from .heads import PredictionHead
 
@@ -121,8 +121,11 @@ class GNNTransformerModule(nn.Module):
         if self.num_encoder_layers > 0:
             dense, valid = self.transformer_encoder(dense, valid, training)
 
+        # under hybrid graph-sharded execution the dense stage holds only
+        # this chip's graph block — slice graph-level arrays to match
         h_graph = dense_pool(
-            dense, valid, batch.num_nodes, self.graph_pooling,
+            dense, valid, maybe_graph_shard(batch.num_nodes),
+            self.graph_pooling,
             use_cls=self.graph_pooling == "cls", max_len=S,
         )
         return self.head(h_graph)

@@ -137,8 +137,11 @@ class PNATransformerModule(nn.Module):
             batch.num_graph_slots, S,
         )
         out, valid = self.transformer_encoder(dense, valid, training)
+        from ..ops.dense import maybe_graph_shard
+
         h_graph = dense_pool(
-            out, valid, batch.num_nodes, self.graph_pooling,
+            out, valid, maybe_graph_shard(batch.num_nodes),
+            self.graph_pooling,
             use_cls=self.graph_pooling == "cls", max_len=S,
         )
         return self.head(h_graph)

@@ -36,6 +36,52 @@ def dense_psum_context(axis_name: str):
         _PSUM.axis = None
 
 
+_SHARD = threading.local()
+
+
+@contextlib.contextmanager
+def dense_shard_context(axis_name: str, n_shards: int):
+    """Graph-sharded dense stage (parallel/hybrid.py training): instead of
+    psum-replicating the full [G,S,d] packing, a reduce_scatter over the
+    graph axis leaves each chip exactly its own graph block — 1/D the
+    transformer compute and memory per chip, and D× less collective traffic
+    than the replicating psum. Downstream graph-level arrays must be sliced
+    with maybe_graph_shard."""
+    _SHARD.ctx = (axis_name, int(n_shards))
+    try:
+        yield
+    finally:
+        _SHARD.ctx = None
+
+
+def _shard_ctx():
+    return getattr(_SHARD, "ctx", None)
+
+
+def graph_block_size(num_graphs: int, n_shards: int) -> int:
+    return -(-num_graphs // n_shards)
+
+
+def maybe_graph_shard(arr):
+    """Under dense_shard_context: pad the leading (graph) axis to a multiple
+    of the shard count and return this chip's block; identity otherwise.
+    Padded slots are zeros (all-masked-out)."""
+    ctx = _shard_ctx()
+    if ctx is None:
+        return arr
+    import jax
+
+    axis, D = ctx
+    G = arr.shape[0]
+    Gb = graph_block_size(G, D)
+    pad = Gb * D - G
+    if pad:
+        arr = jnp.concatenate(
+            [arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)])
+    t = jax.lax.axis_index(axis)
+    return jax.lax.dynamic_slice_in_dim(arr, t * Gb, Gb, axis=0)
+
+
 def nodes_to_dense(h_node, node_graph, node_pos, node_mask, num_graphs, max_len):
     """Scatter flat node features [N, d] into dense [G, S, d] plus key mask.
 
@@ -48,6 +94,23 @@ def nodes_to_dense(h_node, node_graph, node_pos, node_mask, num_graphs, max_len)
     dense = dense.at[node_graph, pos].set(h_node, mode="drop")
     valid = jnp.zeros((num_graphs, max_len + 1), bool)
     valid = valid.at[node_graph, pos].set(node_mask, mode="drop")
+    ctx = _shard_ctx()
+    if ctx is not None:
+        import jax
+
+        axis, D = ctx
+        Gb = graph_block_size(num_graphs, D)
+        pad = Gb * D - num_graphs
+        if pad:
+            dense = jnp.pad(dense, ((0, pad), (0, 0), (0, 0)))
+            valid = jnp.pad(valid, ((0, pad), (0, 0)))
+        # reduce_scatter over the graph axis: each chip ends with its own
+        # fully-summed [G/D, S, d] block
+        dense = jax.lax.psum_scatter(dense, axis, scatter_dimension=0,
+                                     tiled=True)
+        valid = jax.lax.psum_scatter(valid.astype(jnp.float32), axis,
+                                     scatter_dimension=0, tiled=True) > 0
+        return dense[:, :max_len], valid[:, :max_len]
     axis = getattr(_PSUM, "axis", None)
     if axis is not None:
         import jax

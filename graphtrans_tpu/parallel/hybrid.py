@@ -180,47 +180,64 @@ def make_hybrid_flagship_forward(model, part):
 def make_hybrid_train_step(model, calc_loss, tx, part,
                            gnn_subtree: str = "gnn_node",
                            donate: bool = True):
-    """Full training step across the mesh with the node-sharded GNN stage.
+    """Full training step across the mesh: node-sharded GNN stage AND
+    graph-sharded transformer stage.
 
-    Gradient combination: the GNN subtree's compute is sharded, so each chip
-    holds only its nodes' contributions -> psum; the transformer/head stages
-    run replicated (identical on every chip after the dense-packing psum) ->
-    pmean (identity up to float drift). A single rng keeps the replicated
-    stages' dropout identical across chips (the GNN stage then reuses the
-    same per-row pattern on each shard — different data, acceptable)."""
+    The dense packing reduce_scatters over the graph axis
+    (ops/dense.dense_shard_context), so each chip runs the transformer,
+    pooling, and head on only its own [G/D, S, d] graph block — 1/D the
+    dense-stage compute/memory of the old psum-replicated layout. Each chip
+    computes the GLOBAL-SUM-scaled local loss (local masked sum / psum'd
+    global count); the per-chip losses sum to the exact global masked-mean
+    loss, so EVERY gradient subtree combines with one psum — the node-sharded
+    GNN contributions and the graph-sharded transformer contributions alike.
+    A single rng is folded with the chip index for per-shard dropout
+    streams; BN statistics psum via bn_axis_name as before."""
     import jax
+    import jax.numpy as jnp
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..ops import dense as dense_ops
     from ..ops import scatter
+    from ..train import losses as loss_lib
     from ..trainers.base_trainer import apply_update
 
     D = part if isinstance(part, int) else part.n_shards
     mesh = make_mesh(dp=D)
+    weight_fn = getattr(calc_loss, "weight_fn", loss_lib.graph_count_weight)
 
     def body(state, stacked, rng):
         local = jax.tree_util.tree_map(lambda x: x[0], stacked)
         send_idx = local.halo_send_idx
         rng = jax.random.fold_in(rng, state.step)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
 
         def loss_fn(params):
             with scatter.halo_context(send_idx, "data", send_idx.shape[-1]), \
-                    dense_ops.dense_psum_context("data"):
+                    dense_ops.dense_shard_context("data", D):
                 out, mut = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     local, None, True,
                     rngs={"dropout": rng}, mutable=["batch_stats"],
                 )
-            return calc_loss(out, local), mut["batch_stats"]
+                # this chip's graph block of the labels/masks
+                view = dataclasses.replace(
+                    local,
+                    y=dense_ops.maybe_graph_shard(local.y),
+                    y_arr=dense_ops.maybe_graph_shard(local.y_arr),
+                    graph_mask=dense_ops.maybe_graph_shard(local.graph_mask),
+                )
+            w = weight_fn(view)
+            denom = jnp.maximum(jax.lax.psum(w, "data"), 1.0)
+            # local masked mean * local count / global count: the psum of
+            # these per-chip terms IS the global masked mean
+            return calc_loss(out, view) * w / denom, mut["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
-        combined = {
-            k: (jax.lax.psum(v, "data") if k == gnn_subtree
-                else jax.lax.pmean(v, "data"))
-            for k, v in grads.items()
-        }
+        combined = jax.lax.psum(grads, "data")
+        loss = jax.lax.psum(loss, "data")
         return apply_update(state, combined, new_bs, loss, tx, gnn_subtree)
 
     sharded = shard_map(
