@@ -111,14 +111,30 @@ def flagship_flops(batch, emb=256, d_model=128, ff=512, nhead=4,
 
 
 def time_steps(step, state, batch, rng, warmup=3, iters=20):
-    for _ in range(warmup):
-        state, loss = step(state, batch, rng)
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss = step(state, batch, rng)
-    jax.block_until_ready(loss)
-    return (time.perf_counter() - t0) / iters
+    """Two-point slope timing: steps chain through the state, the final
+    scalar loss is fetched to host (a D2H the backend cannot elide), and the
+    per-step time is the slope between a short and a long chain — this
+    cancels the constant per-call cost, which through this environment's
+    network tunnel is ~30 ms of dispatch/sync RTT (big enough to swamp
+    naive `total/iters` timing, and `block_until_ready` alone has been
+    observed returning early on this backend)."""
+    def run(k):
+        s, loss = state, None
+        for _ in range(k):
+            s, loss = step(s, batch, rng)
+        return float(loss)
+
+    run(max(warmup, 2))
+    k_short, k_long = max(iters // 4, 1), iters
+    t = {}
+    for k in (k_short, k_long):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(k)
+            ts.append(time.perf_counter() - t0)
+        t[k] = min(ts)
+    return max(t[k_long] - t[k_short], 1e-9) / (k_long - k_short)
 
 
 def main():
