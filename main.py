@@ -95,7 +95,11 @@ def build_parser():
     group.add_argument("--precision", type=str, default="f32",
                        choices=["f32", "bf16"],
                        help="bf16: forward/backward in bfloat16 with f32 "
-                            "master params, losses and BN stats in f32")
+                            "master params, losses and BN stats in f32. "
+                            "NOT recommended on TPU for these model sizes: "
+                            "the per-step master-param cast costs more than "
+                            "it saves (XLA already runs f32 matmuls as bf16 "
+                            "MXU passes); keep the f32 default")
     group.add_argument("--checkpoint_every_epoch", action="store_true",
                        default=False,
                        help="checkpoint after every epoch (default keeps the "
