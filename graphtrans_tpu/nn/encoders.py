@@ -18,10 +18,32 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from .init import TDense, normal, xavier_uniform
+
+
+def embed_lookup(tbl, idx):
+    """Embedding lookup whose BACKWARD is a matmul, not a scatter.
+
+    On TPU, autodiff of `tbl[idx]` transposes to a scatter-add into the
+    table, which XLA lowers to a serialized per-row update — measured as a
+    dominant cost at batch scale. For small vocabularies the standard
+    TPU-native formulation is a one-hot matmul: forward is
+    one_hot(idx) @ tbl on the MXU (one-hot entries are exact in any dtype),
+    and the transpose is one_hot^T @ grad — another matmul. Large tables
+    (code2's 10k-attr vocab) keep the take path, where the one-hot would
+    dominate.
+    """
+    n = tbl.shape[0]
+    if n > 512:
+        return tbl[idx]
+    flat = idx.reshape(-1)
+    oh = jax.nn.one_hot(flat, n, dtype=tbl.dtype)
+    out = oh @ tbl
+    return out.reshape(idx.shape + (tbl.shape[1],))
 
 # OGB molecule categorical feature cardinalities
 # (ogb.utils.features.get_atom_feature_dims / get_bond_feature_dims).
@@ -36,9 +58,9 @@ class AtomEncoder(nn.Module):
     @nn.compact
     def __call__(self, x):  # x: [N, F] int
         out = 0
-        for i, n in enumerate(self.feature_dims[: x.shape[1]]):
+        for i, n in enumerate(self.feature_dims[: x.shape[-1]]):
             tbl = self.param(f"emb_{i}", xavier_uniform(), (n, self.emb_dim))
-            out = out + tbl[jnp.clip(x[:, i].astype(jnp.int32), 0, n - 1)]
+            out = out + embed_lookup(tbl, jnp.clip(x[..., i].astype(jnp.int32), 0, n - 1))
         return out
 
 
@@ -49,9 +71,9 @@ class BondEncoder(nn.Module):
     @nn.compact
     def __call__(self, e):  # e: [E, F] int
         out = 0
-        for i, n in enumerate(self.feature_dims[: e.shape[1]]):
+        for i, n in enumerate(self.feature_dims[: e.shape[-1]]):
             tbl = self.param(f"emb_{i}", xavier_uniform(), (n, self.emb_dim))
-            out = out + tbl[jnp.clip(e[:, i].astype(jnp.int32), 0, n - 1)]
+            out = out + embed_lookup(tbl, jnp.clip(e[..., i].astype(jnp.int32), 0, n - 1))
         return out
 
 
@@ -73,7 +95,9 @@ class ASTNodeEncoder(nn.Module):
         depth_tbl = self.param("depth_emb", normal(1.0), (self.max_depth + 1, self.emb_dim))
         xi = x.astype(jnp.int32)
         d = jnp.clip(depth.astype(jnp.int32), 0, self.max_depth)
-        return type_tbl[xi[:, 0]] + attr_tbl[xi[:, 1]] + depth_tbl[d]
+        return (embed_lookup(type_tbl, xi[..., 0])
+                + embed_lookup(attr_tbl, xi[..., 1])
+                + embed_lookup(depth_tbl, d))
 
 
 class LinearNodeEncoder(nn.Module):
@@ -100,4 +124,4 @@ class ZeroEdgeEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, e):
-        return jnp.zeros((e.shape[0], self.emb_dim), jnp.float32)
+        return jnp.zeros(e.shape[:-1] + (self.emb_dim,), jnp.float32)
