@@ -44,7 +44,8 @@ def naive_gather_message_scatter(x, edge_emb, edge_src, edge_dst, edge_mask,
     return out.at[edge_dst].add(m, mode="drop", unique_indices=False)
 
 
-def build(batch_size=256, nodes_per=26, emb=256, seed=0, precision="f32"):
+def build(batch_size=256, nodes_per=26, emb=256, seed=0, precision="f32",
+          layout="dense"):
     from graphtrans_tpu.data.batch import collate
     from graphtrans_tpu.data.loader import dataset_caps
     from graphtrans_tpu.data.synthetic import make_mol_dataset
@@ -60,8 +61,20 @@ def build(batch_size=256, nodes_per=26, emb=256, seed=0, precision="f32"):
                               min_nodes=nodes_per - 6, max_nodes=nodes_per + 6,
                               seed=seed)
     caps = dataset_caps(graphs, batch_size)
-    batch = collate(graphs, batch_size + 1, caps[0], caps[1],
-                    num_tasks=128, y_dtype="float32")
+    if layout == "dense":
+        # strided layout: aggregation runs scatter-free as one-hot MXU
+        # matmuls (ops/dense_mp.py) — the production default for
+        # small-graph datasets (main.py --dense_layout auto)
+        from graphtrans_tpu.data.batch import bucket_size
+
+        stride = bucket_size(max(g["x"].shape[0] for g in graphs), 16)
+        em = bucket_size(max(g["edge_index"].shape[1] for g in graphs), 8)
+        batch = collate(graphs, batch_size + 1, (batch_size + 1) * stride,
+                        caps[1], num_tasks=128, y_dtype="float32",
+                        node_stride=stride, dense_edge_cap=em)
+    else:
+        batch = collate(graphs, batch_size + 1, caps[0], caps[1],
+                        num_tasks=128, y_dtype="float32")
     args = _flagship_args(gnn_type="gin", gnn_virtual_node=True, gnn_JK="cat",
                           gnn_emb_dim=emb, d_model=128, gnn_dropout=0.3)
     args.precision = precision
@@ -145,15 +158,18 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--batch_size", type=int, default=4096)
     p.add_argument("--precision", type=str, default="f32", choices=["f32", "bf16"])
+    p.add_argument("--layout", type=str, default="dense",
+                   choices=["dense", "flat"],
+                   help="dense = strided one-hot-matmul aggregation "
+                        "(production default); flat = segment-scatter path")
     p.add_argument("--peak_tflops", type=float, default=197.0,
                    help="chip peak for the MFU line (default: TPU v5e "
                         "bf16 systolic peak; XLA executes f32 matmuls as "
                         "single-pass bf16 MXU ops here)")
     args = p.parse_args()
 
-    from graphtrans_tpu.ops import scatter
-
-    state, step, batch = build(batch_size=args.batch_size, precision=args.precision)
+    state, step, batch = build(batch_size=args.batch_size,
+                               precision=args.precision, layout=args.layout)
     rng = jax.random.key(0)
     edges = int(np.asarray(batch.edge_mask).sum())
     batch = jax.device_put(batch)
@@ -161,15 +177,27 @@ def main():
     dt = time_steps(step, state, batch, rng, iters=args.iters)
     edges_per_s = edges / dt
 
-    # naive reference-semantics baseline: swap the scatter path
+    # comparison points: the flat segment-scatter layout, and the naive
+    # unsorted-scatter reference semantics on top of it
     import graphtrans_tpu.ops.scatter as sc
+
+    dt_flat = None
+    if args.layout == "dense":
+        state_f, step_f, batch_f = build(batch_size=args.batch_size,
+                                         precision=args.precision,
+                                         layout="flat")
+        batch_f = jax.device_put(batch_f)
+        dt_flat = time_steps(step_f, state_f, batch_f, rng,
+                             iters=max(args.iters // 2, 4))
 
     orig = sc.gather_message_scatter
     sc.gather_message_scatter = naive_gather_message_scatter
     try:
-        state_n, step_n, batch_n = build(batch_size=args.batch_size)
+        state_n, step_n, batch_n = build(batch_size=args.batch_size,
+                                         layout="flat")
         batch_n = jax.device_put(batch_n)
-        dt_naive = time_steps(step_n, state_n, batch_n, rng, iters=max(args.iters // 2, 5))
+        dt_naive = time_steps(step_n, state_n, batch_n, rng,
+                              iters=max(args.iters // 2, 4))
     finally:
         sc.gather_message_scatter = orig
     baseline_edges_per_s = edges / dt_naive
@@ -183,7 +211,12 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / REFERENCE_GPU_EDGES_PER_S, 3),
         "detail": {
+            "layout": args.layout,
             "step_ms": round(dt * 1e3, 2),
+            "flat_step_ms": (round(dt_flat * 1e3, 2)
+                             if dt_flat is not None else None),
+            "vs_flat_layout": (round(dt_flat / dt, 3)
+                               if dt_flat is not None else None),
             "naive_step_ms": round(dt_naive * 1e3, 2),
             "vs_naive_scatter": round(edges_per_s / baseline_edges_per_s, 3),
             "baseline_note": "vs_baseline uses the documented estimate of the reference stack's GPU throughput (2.4e5 edges/s); vs_naive_scatter is measured on-chip",

@@ -62,9 +62,20 @@ class GraphBatch:
     # scatter cannot see a node's global out-degree)
     edge_gcn_norm: Any = None   # [E] deg^-1/2[src] * deg^-1/2[dst]
     node_gcn_inv_deg: Any = None  # [N] 1/deg (self-loop term scale)
+    # --- dense (strided) layout extras ---
+    # When node_stride > 0, graph g's nodes occupy flat rows
+    # [g*stride, g*stride+n) so [N, d] node tensors reshape to
+    # [G, stride, d] for free, and per-graph edge tables below drive the
+    # scatter-free one-hot-matmul aggregation (ops/dense_mp.py). The flat
+    # edge arrays above remain valid (strided global indices, dst-sorted).
+    edge_src_dense: Any = None   # [G, Em] int32 graph-local src (pad 0)
+    edge_dst_dense: Any = None   # [G, Em] int32 graph-local dst (pad 0)
+    edge_mask_dense: Any = None  # [G, Em] bool
+    edge_attr_dense: Any = None  # [G, Em, Fe]
 
     # --- static metadata (aux_data, not traced) ---
     max_nodes_dense: int = dataclasses.field(default=0, metadata=dict(static=True))
+    node_stride: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def num_node_slots(self) -> int:
@@ -115,6 +126,8 @@ def collate(
     y_dtype: str = "int32",
     with_dense_adj: bool = False,
     dense_cap: Optional[int] = None,
+    node_stride: int = 0,
+    dense_edge_cap: int = 0,
 ) -> GraphBatch:
     """Assemble a list of host-side graph dicts into one padded GraphBatch.
 
@@ -134,9 +147,21 @@ def collate(
     if n_real > G:
         raise ValueError(f"batch of {n_real} graphs exceeds cap {G}")
 
+    if node_stride > 0:
+        # strided (dense) layout: graph i owns flat rows [i*stride, ...).
+        # No truncation in this mode — the stride IS the dense width.
+        if node_stride > max_input_len:
+            raise ValueError(f"node_stride {node_stride} exceeds "
+                             f"max_input_len {max_input_len}")
+        if N != G * node_stride:
+            raise ValueError(f"strided layout needs num_nodes_cap == "
+                             f"G*stride ({G}*{node_stride}), got {N}")
+        if dense_edge_cap <= 0:
+            raise ValueError("strided layout requires dense_edge_cap")
+
     total_nodes = sum(int(g["x"].shape[0]) for g in graphs)
     total_edges = sum(int(g["edge_index"].shape[1]) for g in graphs)
-    if total_nodes > N:
+    if node_stride == 0 and total_nodes > N:
         raise ValueError(f"{total_nodes} nodes exceed cap {N}")
     if total_edges > E:
         raise ValueError(f"{total_edges} edges exceed cap {E}")
@@ -173,25 +198,44 @@ def collate(
     # dense packing width: reference uses min(max nodes in batch, max_input_len)
     # (/root/reference/modules/utils.py:16). We bucket it for shape stability;
     # dense_cap pins it dataset-wide (required for sharded stacking, and keeps
-    # one compiled shape per epoch).
-    if dense_cap is not None:
+    # one compiled shape per epoch). In strided mode the stride IS the width.
+    if node_stride > 0:
+        S = node_stride
+    elif dense_cap is not None:
         S = min(dense_cap, max_input_len)
     else:
         max_n = max((int(g["x"].shape[0]) for g in graphs), default=1)
         S = min(bucket_size(max_n, 16), max_input_len)
+
+    if node_stride > 0:
+        Em = dense_edge_cap
+        edge_src_dense = np.zeros((G, Em), dtype=np.int32)
+        edge_dst_dense = np.zeros((G, Em), dtype=np.int32)
+        edge_mask_dense = np.zeros((G, Em), dtype=bool)
+        edge_attr_dense = np.zeros((G, Em, max(edge_dim, 1)), dtype=edge_dtype)
+    else:
+        edge_src_dense = edge_dst_dense = edge_mask_dense = edge_attr_dense = None
 
     node_off = 0
     edge_off = 0
     for i, g in enumerate(graphs):
         n = int(g["x"].shape[0])
         e = int(g["edge_index"].shape[1])
+        if node_stride > 0:
+            if n > node_stride:
+                raise ValueError(f"graph of {n} nodes exceeds stride {node_stride}")
+            if e > dense_edge_cap:
+                raise ValueError(f"graph of {e} edges exceeds dense edge cap "
+                                 f"{dense_edge_cap}")
+            node_off = i * node_stride
         x = g["x"].reshape(n, -1)
         node_feat[node_off : node_off + n] = x
         node_graph[node_off : node_off + n] = i
         node_mask[node_off : node_off + n] = True
         if "node_depth" in g and g["node_depth"] is not None:
             node_depth[node_off : node_off + n] = g["node_depth"].reshape(-1)
-        # dense position: keep LAST min(n, S) nodes, packed from column 0.
+        # dense position: keep LAST min(n, S) nodes, packed from column 0
+        # (strided mode never truncates: pos is just the within-graph index).
         n_keep = min(n, S)
         pos = np.full((n,), S, dtype=np.int32)  # default: trash column
         pos[n - n_keep :] = np.arange(n_keep, dtype=np.int32)
@@ -203,6 +247,12 @@ def collate(
         if edge_dim > 0:
             edge_attr[edge_off : edge_off + e] = g["edge_attr"].reshape(e, -1)
         edge_mask[edge_off : edge_off + e] = True
+        if node_stride > 0:
+            edge_src_dense[i, :e] = ei[0]
+            edge_dst_dense[i, :e] = ei[1]
+            edge_mask_dense[i, :e] = True
+            if edge_dim > 0:
+                edge_attr_dense[i, :e] = g["edge_attr"].reshape(e, -1)
 
         graph_mask[i] = True
         num_nodes[i] = n
@@ -264,5 +314,10 @@ def collate(
         y_arr=y_arr,
         dense_adj=dense_adj,
         graph_ids=graph_ids,
+        edge_src_dense=edge_src_dense,
+        edge_dst_dense=edge_dst_dense,
+        edge_mask_dense=edge_mask_dense,
+        edge_attr_dense=edge_attr_dense,
         max_nodes_dense=S,
+        node_stride=node_stride,
     )

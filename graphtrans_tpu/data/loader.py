@@ -46,6 +46,8 @@ class GraphLoader:
         collate_workers: int = 1,
         native_threads: int = 0,
         hybrid_shards: int = 0,
+        dense_layout: bool = False,
+        dense_caps: Optional[tuple] = None,
     ):
         self.collate_workers = collate_workers
         # intra-batch parallelism INSIDE the native collate call (the call
@@ -87,11 +89,38 @@ class GraphLoader:
         max_n = max((int(g["x"].shape[0]) for g in self.graphs), default=1)
         self.dense_cap = min(bucket_size(max_n, 16), max_input_len)
 
+        # strided (dense) node layout: graph i owns rows [i*stride, ...) so
+        # aggregation runs scatter-free as one-hot matmuls (ops/dense_mp.py).
+        # Only valid when every graph fits the stride (no truncation).
+        self.node_stride = 0
+        self.dense_edge_cap = 0
+        if dense_layout:
+            # dense_caps pins (stride, edge slots) dataset-wide so every
+            # split loader compiles to the same shapes
+            stride = (dense_caps[0] if dense_caps is not None
+                      else bucket_size(max_n, 16))
+            if stride > max_input_len or hybrid_shards > 1 or with_dense_adj:
+                from ..utils.logging import logger
+
+                logger.warning("dense_layout requested but unsupported here "
+                               f"(stride {stride} vs max_input_len "
+                               f"{max_input_len}, hybrid={hybrid_shards}, "
+                               f"adj={with_dense_adj}) — using flat layout")
+            else:
+                max_e = max((int(g["edge_index"].shape[1])
+                             for g in self.graphs), default=1)
+                self.node_stride = stride
+                self.dense_cap = stride
+                self.dense_edge_cap = (dense_caps[1] if dense_caps is not None
+                                       else bucket_size(max_e, 8))
+                self.node_cap = (batch_size + 1) * stride
+
         # native C++ batcher path (csrc/graph_batcher.cpp): pack once, then
         # each batch is one native call; python collate is the fallback
         self.packed = None
         self._ring = None
-        if use_native and not with_dense_adj and len(self.graphs) > 0:
+        if use_native and not with_dense_adj and self.node_stride == 0 \
+                and len(self.graphs) > 0:
             from . import native
 
             if native.native_available():
@@ -128,6 +157,9 @@ class GraphLoader:
         n_arr = self._sizes_n[order]
         e_arr = self._sizes_e[order]
         over = (n_arr > self.node_cap) | (e_arr > self.edge_cap)
+        if self.node_stride > 0:
+            # strided layout: every graph must fit its stride / edge slot cap
+            over |= (n_arr > self.node_stride) | (e_arr > self.dense_edge_cap)
         if over.any():
             if not self.drop_overflow:
                 raise ValueError("graph exceeds fixed caps")
@@ -170,6 +202,8 @@ class GraphLoader:
             y_dtype=self.y_dtype,
             with_dense_adj=self.with_dense_adj,
             dense_cap=self.dense_cap,
+            node_stride=self.node_stride,
+            dense_edge_cap=self.dense_edge_cap,
         )
 
     def _native_collate(self, plan):

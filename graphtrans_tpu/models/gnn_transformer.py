@@ -112,7 +112,7 @@ class GNNTransformerModule(nn.Module):
         S = min(batch.max_nodes_dense, self.max_input_len)
         dense, valid = nodes_to_dense(
             h_node, batch.node_graph, batch.node_pos, batch.node_mask,
-            batch.num_graph_slots, S,
+            batch.num_graph_slots, S, node_stride=batch.node_stride,
         )
         if self.pos_encoder:
             dense = self.pos_encoding(dense)

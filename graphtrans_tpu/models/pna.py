@@ -134,7 +134,7 @@ class PNATransformerModule(nn.Module):
         S = min(batch.max_nodes_dense, self.max_input_len)
         dense, valid = nodes_to_dense(
             h_node, batch.node_graph, batch.node_pos, batch.node_mask,
-            batch.num_graph_slots, S,
+            batch.num_graph_slots, S, node_stride=batch.node_stride,
         )
         out, valid = self.transformer_encoder(dense, valid, training)
         from ..ops.dense import maybe_graph_shard

@@ -15,10 +15,24 @@ from typing import Callable
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import scatter
+from ..ops import dense_mp, scatter
 from ..ops.segment import out_degree
 from .init import TDense, normal
 from .norm import MaskedBatchNorm
+
+
+def _aggregate(batch, h, edge_encoder, message="relu_add", edge_weight=None):
+    """Route the gather->message->scatter through the strided one-hot-matmul
+    path when the batch carries the dense layout (scatter-free fwd AND bwd,
+    ops/dense_mp.py), else the flat segment path."""
+    if batch.edge_src_dense is not None:
+        edge_emb = edge_encoder(batch.edge_attr_dense)
+        return dense_mp.gather_message_scatter_dense(
+            h, batch, edge_emb, message=message, edge_weight=edge_weight)
+    edge_emb = edge_encoder(batch.edge_attr)
+    return scatter.gather_message_scatter(
+        h, edge_emb, batch.edge_src, batch.edge_dst, batch.edge_mask,
+        num_nodes=h.shape[0], message=message, edge_weight=edge_weight)
 
 
 class GINConv(nn.Module):
@@ -32,11 +46,7 @@ class GINConv(nn.Module):
 
     @nn.compact
     def __call__(self, batch, h, training: bool):
-        edge_emb = self.edge_encoder(batch.edge_attr)
-        agg = scatter.gather_message_scatter(
-            h, edge_emb, batch.edge_src, batch.edge_dst, batch.edge_mask,
-            num_nodes=h.shape[0], message="relu_add",
-        )
+        agg = _aggregate(batch, h, self.edge_encoder, message="relu_add")
         eps = self.param("eps", nn.initializers.zeros, (1,))
         out = (1 + eps) * h + agg
         out = TDense(2 * self.emb_dim)(out)
@@ -61,22 +71,33 @@ class GCNConv(nn.Module):
     def __call__(self, batch, h, training: bool):
         x = TDense(self.emb_dim)(h)
         x = jnp.where(batch.node_mask[:, None], x, 0)
-        edge_emb = self.edge_encoder(batch.edge_attr)
         if batch.edge_gcn_norm is not None:
             # node-sharded execution: degrees are a GLOBAL property the
             # local edge shard cannot see — use the host-precomputed
             # normalization (parallel/hybrid.py)
             norm = batch.edge_gcn_norm
             inv_deg = batch.node_gcn_inv_deg[:, None]
+        elif batch.edge_src_dense is not None:
+            # strided layout: degree is an axis reduction of the src
+            # one-hots, and the per-edge norm gathers dis through the same
+            # one-hot matmul (scatter-free backward)
+            G, Sm = batch.num_graph_slots, batch.node_stride
+            deg = dense_mp.dense_degree(
+                batch.edge_src_dense, batch.edge_mask_dense, Sm, x.dtype) + 1.0
+            dis = deg ** -0.5
+            dsrc = dense_mp.dense_gather(
+                dis[..., None], batch.edge_src_dense, batch.edge_mask_dense)
+            ddst = dense_mp.dense_gather(
+                dis[..., None], batch.edge_dst_dense, batch.edge_mask_dense)
+            norm = (dsrc * ddst)[..., 0]          # [G, Em]
+            inv_deg = (1.0 / deg).reshape(G * Sm, 1)
         else:
             deg = out_degree(batch.edge_src, x.shape[0], batch.edge_mask, x.dtype) + 1.0
             dis = jnp.where(deg > 0, deg, 1.0) ** -0.5
             norm = dis[batch.edge_src] * dis[batch.edge_dst]
             inv_deg = 1.0 / deg[:, None]
-        agg = scatter.gather_message_scatter(
-            x, edge_emb, batch.edge_src, batch.edge_dst, batch.edge_mask,
-            num_nodes=x.shape[0], message="relu_add", edge_weight=norm,
-        )
+        agg = _aggregate(batch, x, self.edge_encoder, message="relu_add",
+                         edge_weight=norm)
         root_emb = self.param("root_emb", normal(1.0), (self.emb_dim,))
         self_term = nn.relu(x + root_emb) * inv_deg
         out = agg + self_term

@@ -122,11 +122,18 @@ class GNNNodeEmbedding(nn.Module):
         if self.virtual_node:
             vn = jnp.broadcast_to(self.virtualnode_embedding, (num_graphs, self.emb_dim))
 
+        strided = batch.node_stride > 0
+
         for layer in range(self.num_layer):
             if self.virtual_node:
-                h_in = h_list[layer] + jnp.where(
-                    batch.node_mask[:, None], vn[batch.node_graph], 0
-                )
+                if strided:
+                    from ..ops.dense_mp import graph_broadcast
+
+                    vn_rows = graph_broadcast(vn, batch)
+                else:
+                    vn_rows = jnp.where(
+                        batch.node_mask[:, None], vn[batch.node_graph], 0)
+                h_in = h_list[layer] + vn_rows
                 h_list[layer] = h_in
             else:
                 h_in = h_list[layer]
@@ -142,9 +149,15 @@ class GNNNodeEmbedding(nn.Module):
             h_list.append(h)
 
             if self.virtual_node and layer < self.num_layer - 1:
-                pooled = segment_sum(
-                    h_list[layer], batch.node_graph, num_graphs, mask=batch.node_mask
-                )
+                if strided:
+                    from ..ops.dense_mp import graph_sum
+
+                    pooled = graph_sum(h_list[layer], batch)
+                else:
+                    pooled = segment_sum(
+                        h_list[layer], batch.node_graph, num_graphs,
+                        mask=batch.node_mask
+                    )
                 if self.graph_reduce_axis is not None:
                     import jax
 

@@ -82,13 +82,23 @@ def maybe_graph_shard(arr):
     return jax.lax.dynamic_slice_in_dim(arr, t * Gb, Gb, axis=0)
 
 
-def nodes_to_dense(h_node, node_graph, node_pos, node_mask, num_graphs, max_len):
+def nodes_to_dense(h_node, node_graph, node_pos, node_mask, num_graphs, max_len,
+                   node_stride: int = 0):
     """Scatter flat node features [N, d] into dense [G, S, d] plus key mask.
 
     Nodes with node_pos == max_len (truncated) or node_mask == False land in a
     trash column that is sliced off. Returns (dense [G,S,d], valid [G,S] bool).
+
+    Strided fast path: when the batch uses the dense node layout
+    (node_stride == max_len, data/batch.py), the flat tensor IS the dense
+    packing — a free reshape instead of a scatter (whose transpose would be
+    a gather; fine — but the scatter itself serializes on TPU).
     """
     d = h_node.shape[-1]
+    if node_stride > 0 and node_stride == max_len and _shard_ctx() is None:
+        dense = h_node.reshape(num_graphs, node_stride, d)
+        valid = node_mask.reshape(num_graphs, node_stride)
+        return dense, valid
     pos = jnp.where(node_mask, node_pos, max_len)
     dense = jnp.zeros((num_graphs, max_len + 1, d), h_node.dtype)
     dense = dense.at[node_graph, pos].set(h_node, mode="drop")

@@ -1,0 +1,114 @@
+"""Scatter-free message passing over the strided (dense) graph layout.
+
+The TPU has no fast general scatter: XLA lowers scatter-add to a serialized
+per-row update, and the transpose of a gather is a scatter, so BOTH
+directions of the flat gather->message->segment-sum formulation
+(ops/scatter.py) hit it — measured as the dominant cost of a training step
+at batch scale. This module reformulates aggregation for the strided layout
+(data/batch.py collate(node_stride=...)): with graph g's nodes at flat rows
+[g*Sm, g*Sm+n), node tensors reshape to [G, Sm, d] for free, and
+
+  out[g, s] = sum_{e : dst[g,e]=s} w_e * msg(x[g, src[g,e]], emb[g,e])
+
+becomes two batched ONE-HOT MATMULS on the MXU:
+
+  gathered = one_hot(src)[G, Em, Sm] @ x[G, Sm, d]
+  out      = one_hot(dst)^T[G, Sm, Em] @ msg[G, Em, d]
+
+One-hot entries are exact in any dtype and jax autodiff transposes a
+dot_general into another dot_general, so forward AND backward are matmuls —
+no scatter anywhere. The FLOP inflation factor is the per-graph node count
+Sm (tiny for molecule/TU graphs), which is the minimum any one-hot
+formulation can achieve. Precision HIGHEST keeps the result f32-exact
+(one-hot operands are unaffected by bf16 pass splitting; the data operand's
+3/6-pass split reconstructs the full f32 mantissa).
+
+Replaces the torch-scatter / PyG MessagePassing.propagate role
+(/root/reference/modules/conv.py:26-36) for small-graph datasets; large
+graphs (code2) stay on the flat path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _one_hot(idx, mask, size, dtype):
+    iota = jnp.arange(size, dtype=jnp.int32)
+    return ((idx[..., None] == iota) & mask[..., None]).astype(dtype)
+
+
+def dense_gather(x_dense, edge_idx, edge_mask):
+    """[G, Sm, d] gathered along per-graph indices [G, Em] -> [G, Em, d]
+    via one-hot matmul (backward is a matmul, not a scatter)."""
+    oh = _one_hot(edge_idx, edge_mask, x_dense.shape[1], x_dense.dtype)
+    return jax.lax.dot_general(
+        oh, x_dense, (((2,), (1,)), ((0,), (0,))),
+        precision=PRECISION, preferred_element_type=jnp.float32,
+    ).astype(x_dense.dtype)
+
+
+def dense_scatter_sum(msg, edge_dst, edge_mask, num_slots):
+    """[G, Em, d] messages summed onto their destination slots -> [G, Sm, d]."""
+    oh = _one_hot(edge_dst, edge_mask, num_slots, msg.dtype)
+    return jax.lax.dot_general(
+        oh, msg, (((1,), (1,)), ((0,), (0,))),
+        precision=PRECISION, preferred_element_type=jnp.float32,
+    ).astype(msg.dtype)
+
+
+def dense_degree(edge_idx, edge_mask, num_slots, dtype=jnp.float32):
+    """Edges incident per slot: [G, Em] -> [G, Sm] (a reduction, no scatter)."""
+    oh = _one_hot(edge_idx, edge_mask, num_slots, dtype)
+    return jnp.sum(oh, axis=1)
+
+
+def gather_message_scatter_dense(x, batch, edge_emb, message: str = "relu_add",
+                                 edge_weight=None):
+    """Flat-in / flat-out aggregation over the strided layout.
+
+    x: [N = G*Sm, d] strided node features; edge_emb: [G, Em, d] (from the
+    encoder applied to batch.edge_attr_dense); edge_weight: [G, Em] or None.
+    Returns [N, d] with the same semantics as scatter.gather_message_scatter.
+    """
+    Sm = batch.node_stride
+    G = batch.num_graph_slots
+    d = x.shape[-1]
+    xd = x.reshape(G, Sm, d)
+    xs = dense_gather(xd, batch.edge_src_dense, batch.edge_mask_dense)
+    if message == "relu_add":
+        m = jnp.maximum(xs + edge_emb, 0)
+    elif message == "add":
+        m = xs + edge_emb
+    elif message == "copy":
+        m = xs
+    else:
+        raise ValueError(message)
+    if edge_weight is not None:
+        m = m * edge_weight[..., None]
+    m = jnp.where(batch.edge_mask_dense[..., None], m, 0)
+    out = dense_scatter_sum(m, batch.edge_dst_dense, batch.edge_mask_dense, Sm)
+    return out.reshape(G * Sm, d)
+
+
+def graph_sum(h, batch):
+    """Per-graph sum of node rows [N, d] -> [G, d]: a masked axis reduction
+    in the strided layout (global_add_pool without a segment op)."""
+    Sm = batch.node_stride
+    G = batch.num_graph_slots
+    hd = h.reshape(G, Sm, h.shape[-1])
+    m = batch.node_mask.reshape(G, Sm)[..., None].astype(h.dtype)
+    return jnp.sum(hd * m, axis=1)
+
+
+def graph_broadcast(v, batch):
+    """Per-graph rows [G, d] broadcast to nodes [N, d] (masked): the strided
+    replacement for v[node_graph], whose transpose would be a scatter."""
+    Sm = batch.node_stride
+    G = batch.num_graph_slots
+    out = jnp.broadcast_to(v[:, None, :], (G, Sm, v.shape[-1]))
+    out = out.reshape(G * Sm, v.shape[-1])
+    return jnp.where(batch.node_mask[:, None], out, 0)
