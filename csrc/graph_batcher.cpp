@@ -62,7 +62,14 @@ extern "C" {
 
 // Returns 0 on success, negative error codes on capacity violation.
 //  -1: node capacity exceeded, -2: edge capacity, -3: graph capacity
-int gt_collate3(
+//  -4: per-graph stride/dense-edge capacity exceeded (strided mode)
+//
+// v4 adds the STRIDED (dense) layout: when node_stride > 0, graph k's
+// nodes land at flat rows [k*stride, k*stride+n) (so [N, d] tensors
+// reshape to [G, stride, d] for free), per-graph gaps are reset inline,
+// and per-graph dense edge tables [g_cap, dense_edge_cap] are emitted for
+// the scatter-free one-hot-matmul aggregation (ops/dense_mp.py).
+int gt_collate4(
     // dataset (packed, row-major)
     const int64_t* node_offsets,   // [num_total_graphs + 1]
     const int64_t* edge_offsets,   // [num_total_graphs + 1]
@@ -100,9 +107,17 @@ int gt_collate3(
     int32_t* y_int_out,            // [g_cap] or nullptr
     float* y_float_out,            // [g_cap, t_float] or nullptr
     int32_t* y_arr_out,            // [g_cap, t_arr] or nullptr
-    int64_t num_threads
+    int64_t num_threads,
+    // strided layout (all ignored when node_stride == 0)
+    int64_t node_stride,
+    int64_t dense_edge_cap,
+    int32_t* edge_src_dense,       // [g_cap, dense_edge_cap] or nullptr
+    int32_t* edge_dst_dense,       // [g_cap, dense_edge_cap]
+    uint8_t* edge_mask_dense,      // [g_cap, dense_edge_cap]
+    uint8_t* edge_attr_dense       // [g_cap, dense_edge_cap, edge_row_bytes]
 ) {
     if (num_sel > g_cap) return -3;
+    const bool strided = node_stride > 0;
 
     // ---- serial prefix pass: per-graph output bases + capacity checks ----
     std::vector<int64_t> node_base((size_t)num_sel + 1);
@@ -113,7 +128,8 @@ int gt_collate3(
         const int64_t g = graph_indices[k];
         const int64_t n = node_offsets[g + 1] - node_offsets[g];
         const int64_t e = edge_offsets[g + 1] - edge_offsets[g];
-        node_base[k + 1] = node_base[k] + n;
+        if (strided && (n > node_stride || e > dense_edge_cap)) return -4;
+        node_base[k + 1] = strided ? (k + 1) * node_stride : node_base[k] + n;
         edge_base[k + 1] = edge_base[k] + e;
         if (n > max_n) max_n = n;
     }
@@ -160,6 +176,40 @@ int gt_collate3(
                 const int64_t rel = j - (n - keep);
                 node_pos[nb + j] = (int32_t)(rel >= 0 ? rel : dense_s);
                 node_depth_out[nb + j] = node_depth_in ? node_depth_in[n0 + j] : 0;
+            }
+            if (strided) {
+                // reset this graph's stride gap (reusable buffers)
+                const int64_t g0 = nb + n, gap = node_stride - n;
+                if (gap > 0) {
+                    std::memset(node_feat_out + g0 * feat_row_bytes, 0,
+                                (size_t)(gap * feat_row_bytes));
+                    fill(node_graph + g0, gap, (int32_t)(g_cap - 1));
+                    std::memset(node_pos + g0, 0, (size_t)gap * sizeof(int32_t));
+                    std::memset(node_mask + g0, 0, (size_t)gap);
+                    std::memset(node_depth_out + g0, 0,
+                                (size_t)gap * sizeof(int32_t));
+                }
+                // per-graph dense edge tables (graph-LOCAL indices)
+                int32_t* es = edge_src_dense + k * dense_edge_cap;
+                int32_t* ed = edge_dst_dense + k * dense_edge_cap;
+                uint8_t* em = edge_mask_dense + k * dense_edge_cap;
+                for (int64_t j = 0; j < e; ++j) {
+                    es[j] = (int32_t)edge_src_in[e0 + j];
+                    ed[j] = (int32_t)edge_dst_in[e0 + j];
+                    em[j] = 1;
+                }
+                const int64_t et = dense_edge_cap - e;
+                std::memset(es + e, 0, (size_t)et * sizeof(int32_t));
+                std::memset(ed + e, 0, (size_t)et * sizeof(int32_t));
+                std::memset(em + e, 0, (size_t)et);
+                if (edge_attr_dense && edge_row_bytes > 0) {
+                    uint8_t* ea = edge_attr_dense
+                        + k * dense_edge_cap * edge_row_bytes;
+                    std::memcpy(ea, edge_attr_in + e0 * edge_row_bytes,
+                                (size_t)(e * edge_row_bytes));
+                    std::memset(ea + e * edge_row_bytes, 0,
+                                (size_t)(et * edge_row_bytes));
+                }
             }
 
             // stable counting sort of this graph's edges by LOCAL dst
@@ -231,6 +281,17 @@ int gt_collate3(
         std::memset(graph_mask + a, 0, (size_t)(b - a));
         std::memset(num_nodes + a, 0, (size_t)(b - a) * sizeof(int32_t));
         fill(graph_ids_out + a, b - a, (int32_t)-1);
+        if (strided) {
+            std::memset(edge_src_dense + a * dense_edge_cap, 0,
+                        (size_t)((b - a) * dense_edge_cap) * sizeof(int32_t));
+            std::memset(edge_dst_dense + a * dense_edge_cap, 0,
+                        (size_t)((b - a) * dense_edge_cap) * sizeof(int32_t));
+            std::memset(edge_mask_dense + a * dense_edge_cap, 0,
+                        (size_t)((b - a) * dense_edge_cap));
+            if (edge_attr_dense && edge_row_bytes > 0)
+                std::memset(edge_attr_dense + a * dense_edge_cap * edge_row_bytes,
+                            0, (size_t)((b - a) * dense_edge_cap * edge_row_bytes));
+        }
         if (y_int_out)
             std::memset(y_int_out + a, 0, (size_t)(b - a) * sizeof(int32_t));
         if (y_float_out)
@@ -241,6 +302,36 @@ int gt_collate3(
     });
 
     return 0;
+}
+
+// v3 compatibility shim: no strided layout.
+int gt_collate3(
+    const int64_t* node_offsets, const int64_t* edge_offsets,
+    const uint8_t* node_feat_in, int64_t feat_row_bytes,
+    const int64_t* edge_src_in, const int64_t* edge_dst_in,
+    const uint8_t* edge_attr_in, int64_t edge_row_bytes,
+    const int32_t* node_depth_in,
+    const int32_t* y_int_in, const float* y_float_in, int64_t t_float,
+    const int32_t* y_arr_in, int64_t t_arr,
+    const int64_t* graph_indices, int64_t num_sel,
+    int64_t n_cap, int64_t e_cap, int64_t g_cap, int64_t dense_s,
+    uint8_t* node_feat_out, int32_t* node_graph, int32_t* node_pos,
+    uint8_t* node_mask, int32_t* node_depth_out,
+    int32_t* edge_src_out, int32_t* edge_dst_out, uint8_t* edge_attr_out,
+    uint8_t* edge_mask, uint8_t* graph_mask, int32_t* num_nodes,
+    int32_t* graph_ids_out,
+    int32_t* y_int_out, float* y_float_out, int32_t* y_arr_out,
+    int64_t num_threads
+) {
+    return gt_collate4(
+        node_offsets, edge_offsets, node_feat_in, feat_row_bytes,
+        edge_src_in, edge_dst_in, edge_attr_in, edge_row_bytes, node_depth_in,
+        y_int_in, y_float_in, t_float, y_arr_in, t_arr,
+        graph_indices, num_sel, n_cap, e_cap, g_cap, dense_s,
+        node_feat_out, node_graph, node_pos, node_mask, node_depth_out,
+        edge_src_out, edge_dst_out, edge_attr_out, edge_mask, graph_mask,
+        num_nodes, graph_ids_out, y_int_out, y_float_out, y_arr_out,
+        num_threads, 0, 0, nullptr, nullptr, nullptr, nullptr);
 }
 
 // v2 compatibility shim: single-threaded, full signature minus num_threads.

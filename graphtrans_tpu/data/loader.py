@@ -119,8 +119,7 @@ class GraphLoader:
         # each batch is one native call; python collate is the fallback
         self.packed = None
         self._ring = None
-        if use_native and not with_dense_adj and self.node_stride == 0 \
-                and len(self.graphs) > 0:
+        if use_native and not with_dense_adj and len(self.graphs) > 0:
             from . import native
 
             if native.native_available():
@@ -140,6 +139,7 @@ class GraphLoader:
                     self._ring = native.BufferRing(
                         self.packed, self.node_cap, self.edge_cap,
                         self.batch_size + 1, size=8,
+                        dense_edge_cap=self.dense_edge_cap,
                     )
 
     def __len__(self):
@@ -215,6 +215,8 @@ class GraphLoader:
             self.packed, plan, self.node_cap, self.edge_cap, G, S,
             buffers=self._ring.next() if self._ring else None,
             num_threads=self.native_threads,
+            node_stride=self.node_stride,
+            dense_edge_cap=self.dense_edge_cap,
         )
         if raw is None:
             return None
@@ -240,6 +242,11 @@ class GraphLoader:
             edge_mask=raw["edge_mask"], graph_mask=raw["graph_mask"],
             num_nodes=raw["num_nodes"], y=y, y_arr=y_arr, dense_adj=None,
             graph_ids=raw["graph_ids"], max_nodes_dense=S,
+            edge_src_dense=(raw["edge_src_dense"] if self.node_stride else None),
+            edge_dst_dense=(raw["edge_dst_dense"] if self.node_stride else None),
+            edge_mask_dense=(raw["edge_mask_dense"] if self.node_stride else None),
+            edge_attr_dense=(raw["edge_attr_dense"] if self.node_stride else None),
+            node_stride=self.node_stride,
         )
 
     def __iter__(self):

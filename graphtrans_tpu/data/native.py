@@ -47,9 +47,9 @@ def _load_lib(build_if_missing: bool = True):
     if not os.path.exists(so):
         return None
     lib = ctypes.CDLL(so)
-    if not hasattr(lib, "gt_collate3"):
+    if not hasattr(lib, "gt_collate4"):
         return None
-    lib.gt_collate3.restype = ctypes.c_int
+    lib.gt_collate4.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -121,9 +121,10 @@ class PackedDataset:
 
 
 class BatchBuffers:
-    """One reusable set of output buffers for gt_collate2."""
+    """One reusable set of output buffers for the native collate."""
 
-    def __init__(self, packed: PackedDataset, n_cap, e_cap, g_cap):
+    def __init__(self, packed: PackedDataset, n_cap, e_cap, g_cap,
+                 dense_edge_cap: int = 0):
         self.node_feat = np.empty((n_cap, packed.feat_dim), packed.feat_dtype)
         self.node_graph = np.empty(n_cap, np.int32)
         self.node_pos = np.empty(n_cap, np.int32)
@@ -146,11 +147,26 @@ class BatchBuffers:
                         if packed.y_float is not None else None)
         self.y_arr = (np.empty((g_cap, packed.y_arr.shape[1]), np.int32)
                       if packed.y_arr is not None else None)
+        # strided-layout dense edge tables
+        if dense_edge_cap > 0:
+            self.edge_src_dense = np.empty((g_cap, dense_edge_cap), np.int32)
+            self.edge_dst_dense = np.empty((g_cap, dense_edge_cap), np.int32)
+            self.edge_mask_dense = np.empty((g_cap, dense_edge_cap), np.uint8)
+            self.edge_attr_dense = (
+                np.zeros((g_cap, dense_edge_cap, 1), packed.edge_dtype)
+                if packed.edge_dim == 0
+                else np.empty((g_cap, dense_edge_cap, packed.edge_dim),
+                              packed.edge_dtype))
+        else:
+            self.edge_src_dense = self.edge_dst_dense = None
+            self.edge_mask_dense = self.edge_attr_dense = None
 
 
 class BufferRing:
-    def __init__(self, packed, n_cap, e_cap, g_cap, size: int = 4):
-        self._bufs = [BatchBuffers(packed, n_cap, e_cap, g_cap)
+    def __init__(self, packed, n_cap, e_cap, g_cap, size: int = 4,
+                 dense_edge_cap: int = 0):
+        self._bufs = [BatchBuffers(packed, n_cap, e_cap, g_cap,
+                                   dense_edge_cap=dense_edge_cap)
                       for _ in range(size)]
         self._i = 0
 
@@ -169,7 +185,8 @@ def _ptr(a: Optional[np.ndarray]):
 def native_collate(packed: PackedDataset, indices: np.ndarray,
                    n_cap: int, e_cap: int, g_cap: int, dense_s: int,
                    buffers: Optional[BatchBuffers] = None,
-                   num_threads: int = 1):
+                   num_threads: int = 1,
+                   node_stride: int = 0, dense_edge_cap: int = 0):
     """Run the native batcher; returns the output arrays (views of `buffers`
     when given) or None if unavailable / capacity violated. `num_threads`
     parallelizes the assembly inside the call (the call releases the GIL, so
@@ -177,14 +194,15 @@ def native_collate(packed: PackedDataset, indices: np.ndarray,
     lib = _load_lib()
     if lib is None:
         return None
-    b = buffers or BatchBuffers(packed, n_cap, e_cap, g_cap)
+    b = buffers or BatchBuffers(packed, n_cap, e_cap, g_cap,
+                                dense_edge_cap=dense_edge_cap)
     feat_row = int(np.dtype(packed.feat_dtype).itemsize * packed.feat_dim)
     edge_row = int(np.dtype(packed.edge_dtype).itemsize * packed.edge_dim)
     t_float = packed.y_float.shape[1] if packed.y_float is not None else 0
     t_arr = packed.y_arr.shape[1] if packed.y_arr is not None else 0
 
     idx = np.ascontiguousarray(indices, np.int64)
-    rc = lib.gt_collate3(
+    rc = lib.gt_collate4(
         _ptr(packed.node_offsets), _ptr(packed.edge_offsets),
         _ptr(packed.node_feat), ctypes.c_int64(feat_row),
         _ptr(packed.edge_src), _ptr(packed.edge_dst),
@@ -202,6 +220,9 @@ def native_collate(packed: PackedDataset, indices: np.ndarray,
         _ptr(b.graph_ids),
         _ptr(b.y_int), _ptr(b.y_float), _ptr(b.y_arr),
         ctypes.c_int64(max(1, num_threads)),
+        ctypes.c_int64(node_stride), ctypes.c_int64(dense_edge_cap),
+        _ptr(b.edge_src_dense), _ptr(b.edge_dst_dense),
+        _ptr(b.edge_mask_dense), _ptr(b.edge_attr_dense),
     )
     if rc != 0:
         return None
@@ -212,4 +233,8 @@ def native_collate(packed: PackedDataset, indices: np.ndarray,
         edge_mask=b.edge_mask.view(bool), graph_mask=b.graph_mask.view(bool),
         num_nodes=b.num_nodes, graph_ids=b.graph_ids,
         y_int=b.y_int, y_float=b.y_float, y_arr=b.y_arr,
+        edge_src_dense=b.edge_src_dense, edge_dst_dense=b.edge_dst_dense,
+        edge_mask_dense=(b.edge_mask_dense.view(bool)
+                         if b.edge_mask_dense is not None else None),
+        edge_attr_dense=b.edge_attr_dense,
     )

@@ -110,3 +110,19 @@ def test_native_buffer_ring_reuse_stays_clean():
         np.testing.assert_array_equal(raw["graph_mask"], np.asarray(ref.graph_mask))
         np.testing.assert_array_equal(raw["node_graph"], np.asarray(ref.node_graph))
         np.testing.assert_array_equal(raw["num_nodes"], np.asarray(ref.num_nodes))
+
+
+def test_native_strided_layout_matches_python():
+    """gt_collate4 strided mode: per-graph node placement, inline gap
+    resets, and dense edge tables must match the python collate exactly."""
+    graphs = make_mol_dataset(num_graphs=120, num_tasks=8, seed=12)
+    ln = GraphLoader(graphs, 32, num_tasks=8, y_dtype="float32",
+                     use_native=True, dense_layout=True, native_threads=3)
+    lp = GraphLoader(graphs, 32, num_tasks=8, y_dtype="float32",
+                     use_native=False, dense_layout=True)
+    assert ln.packed is not None and ln.node_stride > 0
+    assert ln.node_stride == lp.node_stride
+    nb, pb = list(iter(ln)), list(iter(lp))
+    assert len(nb) == len(pb)
+    for a, b in zip(nb, pb):
+        _assert_equal(a, b)
