@@ -89,16 +89,29 @@ def chunked_masked_attention(q, k, v, key_valid, key_chunk: int,
     return acc / jnp.maximum(denom, 1e-16)[..., None]
 
 
+_ATTN_BACKEND = "auto"
+
+
+def set_attn_backend(name: str):
+    """Process-wide attention backend for long sequences (trace-time):
+    'auto' (flash Pallas kernel on TPU, chunked lax.scan elsewhere, dense
+    below the threshold), or force 'flash' | 'chunked' | 'dense'."""
+    global _ATTN_BACKEND
+    assert name in ("auto", "flash", "chunked", "dense"), name
+    _ATTN_BACKEND = name
+
+
 class MultiheadSelfAttention(nn.Module):
     """torch nn.MultiheadAttention-equivalent self-attention (combined QKV
     projection, xavier-uniform init, zero-init projection biases).
 
     For long node sequences (S >= chunk_threshold) the score tensor is never
-    materialized: a chunked online-softmax scan bounds memory at O(S*chunk)
-    — the TPU-native answer to code2-scale graphs (S=1000 would otherwise
-    allocate [B,H,S,S] ~ hundreds of MB per layer). Attention dropout is only
-    applied on the dense path (reference configs use it, but chunking only
-    engages beyond the reference's sequence cap)."""
+    materialized: on TPU a flash-attention Pallas kernel (online-softmax
+    fwd + two-pass bwd, ops/pallas/flash_attention.py), elsewhere a chunked
+    online-softmax lax.scan — the TPU-native answer to code2-scale graphs
+    (S=1000 would otherwise allocate [B,H,S,S] ~ hundreds of MB per layer).
+    Both long-sequence paths keep torch attention-dropout semantics
+    (probabilities normalized by the undropped denominator)."""
 
     d_model: int
     nhead: int
@@ -120,8 +133,30 @@ class MultiheadSelfAttention(nn.Module):
             return t.reshape(B, S, self.nhead, hd).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        use_chunked = S >= self.chunk_threshold and attn_bias is None
-        if use_chunked:
+        backend = _ATTN_BACKEND
+        if backend == "auto":
+            if S >= self.chunk_threshold and attn_bias is None:
+                backend = ("flash" if jax.default_backend() == "tpu"
+                           else "chunked")
+            else:
+                backend = "dense"
+        if attn_bias is not None:
+            backend = "dense"
+        if backend == "flash":
+            from ..ops.pallas.flash_attention import flash_attention
+
+            rate = self.dropout if training else 0.0
+            seed = (
+                jax.random.randint(self.make_rng("dropout"), (), 0, 2**31 - 1)
+                if rate > 0.0 else jnp.zeros((), jnp.int32)
+            )
+            kv_mask = jnp.broadcast_to(
+                key_valid[:, None, :], (B, self.nhead, S)).reshape(-1, S)
+            o = flash_attention(
+                q.reshape(-1, S, hd), k.reshape(-1, S, hd),
+                v.reshape(-1, S, hd), kv_mask, seed, rate, training)
+            y = o.reshape(B, self.nhead, S, hd)
+        elif backend == "chunked":
             drop_rng = (
                 self.make_rng("dropout")
                 if training and self.dropout > 0.0 else None

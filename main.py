@@ -88,6 +88,11 @@ def build_parser():
                             "mesh — gnn-transformer with gnn_type=gin only")
     group.add_argument("--use_pallas", action="store_true", default=False,
                        help="enable Pallas fused kernels for the GNN scatter path")
+    group.add_argument("--attn_backend", type=str, default="auto",
+                       choices=["auto", "flash", "chunked", "dense"],
+                       help="long-sequence attention path: auto = flash "
+                            "Pallas kernel on TPU / chunked scan elsewhere "
+                            "for S >= 512, dense below")
     group.add_argument("--dense_layout", type=str, default="auto",
                        choices=["auto", "on", "off"],
                        help="strided per-graph node layout: aggregation runs "
@@ -210,6 +215,10 @@ def main():
         from graphtrans_tpu.ops import scatter
 
         scatter.enable_pallas(True)
+    if args.attn_backend != "auto":
+        from graphtrans_tpu.nn.transformer import set_attn_backend
+
+        set_attn_backend(args.attn_backend)
 
     run_name = f"{args.dataset}+{model_cls.name(args)}"
     run_name += f"+{trainer.name(args)}+lr={args.lr}+wd={args.weight_decay}"
