@@ -157,7 +157,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--batch_size", type=int, default=4096)
-    p.add_argument("--precision", type=str, default="f32", choices=["f32", "bf16"])
+    p.add_argument("--precision", type=str, default="bf16",
+                   choices=["f32", "bf16"],
+                   help="production default bf16 (f32 master params, bf16 "
+                        "fwd/bwd — measured 1.3x on v5e); f32 = strict "
+                        "reference-parity numerics")
+    p.add_argument("--prng", type=str, default="rbg",
+                   choices=["rbg", "threefry2x32"])
     p.add_argument("--layout", type=str, default="dense",
                    choices=["dense", "flat"],
                    help="dense = strided one-hot-matmul aggregation "
@@ -168,6 +174,7 @@ def main():
                         "single-pass bf16 MXU ops here)")
     args = p.parse_args()
 
+    jax.config.update("jax_default_prng_impl", args.prng)
     state, step, batch = build(batch_size=args.batch_size,
                                precision=args.precision, layout=args.layout)
     rng = jax.random.key(0)
@@ -194,6 +201,7 @@ def main():
     sc.gather_message_scatter = naive_gather_message_scatter
     try:
         state_n, step_n, batch_n = build(batch_size=args.batch_size,
+                                         precision=args.precision,
                                          layout="flat")
         batch_n = jax.device_put(batch_n)
         dt_naive = time_steps(step_n, state_n, batch_n, rng,
@@ -212,6 +220,8 @@ def main():
         "vs_baseline": round(edges_per_s / REFERENCE_GPU_EDGES_PER_S, 3),
         "detail": {
             "layout": args.layout,
+            "precision": args.precision,
+            "prng": args.prng,
             "step_ms": round(dt * 1e3, 2),
             "flat_step_ms": (round(dt_flat * 1e3, 2)
                              if dt_flat is not None else None),
