@@ -24,6 +24,7 @@ from flax import linen as nn
 from ..ops.segment import segment_sum
 from .conv import GCNConv, GINConv
 from .init import TDense
+from .dropout import ByteDropout
 from .norm import MaskedBatchNorm
 
 
@@ -99,7 +100,7 @@ class GNNNodeEmbedding(nn.Module):
                 VirtualNodeMLP(self.emb_dim, vn_bn_axis, name=f"vn_mlp_{i}")
                 for i in range(self.num_layer - 1)
             ]
-        self.dropout = nn.Dropout(self.drop_ratio)
+        self.dropout = ByteDropout(self.drop_ratio)
 
     def _encode(self, batch, perturb):
         if self.node_encoder is None:

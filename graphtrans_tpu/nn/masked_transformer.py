@@ -15,6 +15,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .dropout import ByteDropout
+
 from .init import TDense
 from .transformer import masked_softmax
 
@@ -41,11 +43,11 @@ class AdjacencyMaskedSelfAttention(nn.Module):
         if valid is not None:
             keep = keep & valid[:, None, :]
         att = masked_softmax(scores, keep[:, None, :, :])
-        att = nn.Dropout(self.attn_dropout)(att, deterministic=not training)
+        att = ByteDropout(self.attn_dropout)(att, deterministic=not training)
         y = jnp.einsum("bhqk,bhkd->bhqd", att, v.astype(att.dtype))
         y = y.transpose(0, 2, 1, 3).reshape(B, S, d).astype(x.dtype)
         y = TDense(d)(y)
-        return nn.Dropout(self.resid_dropout)(y, deterministic=not training)
+        return ByteDropout(self.resid_dropout)(y, deterministic=not training)
 
 
 class MaskedBlock(nn.Module):
@@ -65,7 +67,7 @@ class MaskedBlock(nn.Module):
             nn.gelu,
             TDense(self.d_model),
         ])
-        drop = lambda t: nn.Dropout(self.dropout)(t, deterministic=not training)
+        drop = lambda t: ByteDropout(self.dropout)(t, deterministic=not training)
         if self.prenorm:
             x = x + attn(nn.LayerNorm()(x), adj_mask, valid, training)
             x = x + drop(mlp(nn.LayerNorm()(x)))

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.segment import in_degree, segment_multi_aggregate, segment_sum
+from .dropout import ByteDropout
 from .norm import MaskedBatchNorm
 
 
@@ -159,7 +160,7 @@ class PNANodeEmbedding(nn.Module):
             MaskedBatchNorm(self.emb_dim, axis_name=self.bn_axis_name, name=f"bn_{i}")
             for i in range(self.num_layer)
         ]
-        self.dropout = nn.Dropout(self.drop_ratio)
+        self.dropout = ByteDropout(self.drop_ratio)
 
     def __call__(self, batch, perturb=None, training: bool = False):
         if self.node_encoder is None:

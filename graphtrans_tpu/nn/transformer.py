@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .dropout import ByteDropout
 from .init import TDense, kaiming_uniform, normal
 
 
@@ -173,7 +174,7 @@ class MultiheadSelfAttention(nn.Module):
             if attn_bias is not None:
                 scores = scores + attn_bias
             att = masked_softmax(scores, key_valid[:, None, None, :])
-            att = nn.Dropout(self.dropout)(att, deterministic=not training)
+            att = ByteDropout(self.dropout)(att, deterministic=not training)
             y = jnp.einsum("bhqk,bhkd->bhqd", att, v.astype(att.dtype))
         y = y.transpose(0, 2, 1, 3).reshape(B, S, d).astype(x.dtype)
         out_w = self.param("out_proj", kaiming_uniform(), (d, d))
@@ -194,7 +195,7 @@ class TransformerEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, key_valid, training: bool):
         act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
-        drop = lambda t: nn.Dropout(self.dropout)(t, deterministic=not training)
+        drop = lambda t: ByteDropout(self.dropout)(t, deterministic=not training)
         a = MultiheadSelfAttention(self.d_model, self.nhead, self.dropout)(
             x, key_valid, training
         )

@@ -78,6 +78,27 @@ def gather_message_scatter_dense(x, batch, edge_emb, message: str = "relu_add",
     G = batch.num_graph_slots
     d = x.shape[-1]
     xd = x.reshape(G, Sm, d)
+
+    from . import scatter as _scatter
+    if _scatter.pallas_enabled():
+        from .pallas import dense_agg
+
+        if dense_agg.supported(batch, d):
+            pad = (-G) % dense_agg.GT
+            def padg(a):
+                if pad == 0:
+                    return a
+                return jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            out = dense_agg.fused_dense_agg(
+                padg(xd), padg(batch.edge_src_dense),
+                padg(batch.edge_dst_dense), padg(batch.edge_mask_dense),
+                padg(edge_emb if message != "copy" else jnp.zeros_like(edge_emb)),
+                padg(edge_weight) if edge_weight is not None else None,
+                message == "relu_add",
+            )
+            return out[:G].reshape(G * Sm, d)
+
     xs = dense_gather(xd, batch.edge_src_dense, batch.edge_mask_dense)
     if message == "relu_add":
         m = jnp.maximum(xs + edge_emb, 0)
