@@ -249,3 +249,26 @@ def test_transformer_model_unpad_pooling_paths(rng):
         out, _ = build_and_run(MODELS["transformer"], args, batch)
         assert out.shape == (4, 2), pool
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_byte_dropout_semantics(rng):
+    """ByteDropout: keep rate within quantization of the target, kept values
+    scaled by exactly 1/(1-rate_q), deterministic under a fixed rng, and
+    identity in deterministic mode."""
+    from graphtrans_tpu.nn.dropout import ByteDropout
+
+    x = jnp.asarray(rng.standard_normal((2000, 64)).astype(np.float32)) + 5.0
+    drop = ByteDropout(0.3)
+    v = drop.init({"dropout": jax.random.key(0)}, x, False)
+    out = drop.apply(v, x, False, rngs={"dropout": jax.random.key(1)})
+    out2 = drop.apply(v, x, False, rngs={"dropout": jax.random.key(1)})
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    kept = np.asarray(out) != 0
+    rate_q = round(0.3 * 256) / 256
+    assert abs(kept.mean() - (1 - rate_q)) < 0.01
+    scale = np.asarray(out)[kept] / np.asarray(x)[kept]
+    np.testing.assert_allclose(scale, 1.0 / (1.0 - rate_q), rtol=1e-5)
+
+    ident = drop.apply(v, x, True)
+    np.testing.assert_array_equal(np.asarray(ident), np.asarray(x))
