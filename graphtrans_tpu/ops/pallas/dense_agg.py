@@ -43,24 +43,22 @@ def _fwd_kernel(x_ref, src_ref, dst_ref, emask_ref, emb_ref, w_ref, out_ref,
     emask = emask_ref[...]
     sm = xs_all.shape[1]
 
-    def per_graph(g, _):
-        oh_src = _one_hot(src[g], emask[g], sm, jnp.float32)   # [Em, Sm]
-        oh_dst = _one_hot(dst[g], emask[g], sm, jnp.float32)
-        xs = jax.lax.dot_general(
-            oh_src, xs_all[g], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # [Em, d]
-        m = xs + emb_all[g]
-        if relu:
-            m = jnp.maximum(m, 0)
-        if has_w:
-            m = m * w_ref[g][:, None].astype(jnp.float32)
-        m = jnp.where(emask[g][:, None], m, 0)
-        out_ref[g] = jax.lax.dot_general(
-            oh_dst, m, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(out_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, xs_all.shape[0], per_graph, 0)
+    # batched over the graph tile (Mosaic lowers batched dots without the
+    # per-graph loop overhead)
+    oh_src = _one_hot(src, emask, sm, jnp.float32)   # [GT, Em, Sm]
+    oh_dst = _one_hot(dst, emask, sm, jnp.float32)
+    xs = jax.lax.dot_general(
+        oh_src, xs_all, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # [GT, Em, d]
+    m = xs + emb_all
+    if relu:
+        m = jnp.maximum(m, 0)
+    if has_w:
+        m = m * w_ref[...][..., None].astype(jnp.float32)
+    m = jnp.where(emask[..., None], m, 0)
+    out_ref[...] = jax.lax.dot_general(
+        oh_dst, m, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _bwd_kernel(x_ref, src_ref, dst_ref, emask_ref, emb_ref, w_ref, g_ref,
@@ -73,33 +71,29 @@ def _bwd_kernel(x_ref, src_ref, dst_ref, emask_ref, emb_ref, w_ref, g_ref,
     emask = emask_ref[...]
     sm = xs_all.shape[1]
 
-    def per_graph(g, _):
-        oh_src = _one_hot(src[g], emask[g], sm, jnp.float32)
-        oh_dst = _one_hot(dst[g], emask[g], sm, jnp.float32)
-        # dmsg = one_hot(dst) @ gout  (gather of the output cotangent)
-        dmsg = jax.lax.dot_general(
-            oh_dst, gout[g], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # [Em, d]
-        xs = jax.lax.dot_general(
-            oh_src, xs_all[g], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        pre = xs + emb_all[g]
-        m0 = jnp.maximum(pre, 0) if relu else pre
-        if has_w:
-            # dmsg rows of invalid edges are zero (masked one-hot), so dw is
-            # implicitly masked
-            dw_ref[g] = jnp.sum(dmsg * m0, axis=-1).astype(dw_ref.dtype)
-            dmsg = dmsg * w_ref[g][:, None].astype(jnp.float32)
-        if relu:
-            dmsg = jnp.where(pre > 0, dmsg, 0)
-        dmsg = jnp.where(emask[g][:, None], dmsg, 0)
-        demb_ref[g] = dmsg.astype(demb_ref.dtype)
-        dx_ref[g] = jax.lax.dot_general(
-            oh_src, dmsg, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dx_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, xs_all.shape[0], per_graph, 0)
+    oh_src = _one_hot(src, emask, sm, jnp.float32)   # [GT, Em, Sm]
+    oh_dst = _one_hot(dst, emask, sm, jnp.float32)
+    # dmsg = one_hot(dst) @ gout  (gather of the output cotangent)
+    dmsg = jax.lax.dot_general(
+        oh_dst, gout, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # [GT, Em, d]
+    xs = jax.lax.dot_general(
+        oh_src, xs_all, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    pre = xs + emb_all
+    m0 = jnp.maximum(pre, 0) if relu else pre
+    if has_w:
+        # dmsg rows of invalid edges are zero (masked one-hot), so dw is
+        # implicitly masked
+        dw_ref[...] = jnp.sum(dmsg * m0, axis=-1).astype(dw_ref.dtype)
+        dmsg = dmsg * w_ref[...][..., None].astype(jnp.float32)
+    if relu:
+        dmsg = jnp.where(pre > 0, dmsg, 0)
+    dmsg = jnp.where(emask[..., None], dmsg, 0)
+    demb_ref[...] = dmsg.astype(demb_ref.dtype)
+    dx_ref[...] = jax.lax.dot_general(
+        oh_src, dmsg, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
 
 
 def _call_fwd(xd, src, dst, emask, emb, w, relu, interpret):
