@@ -190,3 +190,13 @@ def test_driver_sp_requires_tp(tmp_path):
         run_main(tmp_path, [
             "--dataset", "NCI1", "--model_type", "gnn-transformer",
             "--sp"] + SMALL)
+
+
+def test_driver_dp_with_dense_layout(tmp_path):
+    """shard_map DP over stacked strided batches (dense fields stack on the
+    shard axis; count-weighted reduction handles the tail)."""
+    val, test = run_main(tmp_path, [
+        "--dataset", "NCI1", "--model_type", "gnn-transformer",
+        "--gnn_type", "gin", "--graph_pooling", "cls",
+        "--dense_layout", "on", "--dp_shards", "2"] + SMALL)
+    assert 0.0 <= val <= 1.0
