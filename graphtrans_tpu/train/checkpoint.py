@@ -1,14 +1,19 @@
 """Checkpoint / resume.
 
 Replaces torch.save state_dict blobs (/root/reference/main.py:249-260) with
-host-gathered pytree pickles {params, batch_stats, opt_state, epoch,
-scheduler state} written atomically (tmp + rename); per run-id directories
+host-gathered pytree checkpoints {params, batch_stats, opt_state, epoch,
+scheduler state}; per run-id directories
 `<save_path>/<run_id>/{last,best}_model.ckpt`; auto-resume when the last
-checkpoint exists (main.py:198-208). A separate pretrained-GNN partial
-restore grafts only the gnn subtree (gnn_transformer.py:61-66,137-146).
-Sharded TrainStates (GSPMD dp×tp) round-trip through the same path: leaves
-are gathered to host numpy on save and re-placed by jit on the first step
-after restore."""
+checkpoint exists (main.py:198-208). Two backends:
+  - pickle (default): one atomic file (tmp + rename).
+  - orbax (--ckpt_backend orbax): ASYNC array writes via
+    orbax.checkpoint.AsyncCheckpointer (training continues while IO
+    lands) plus a tiny synchronous structure sidecar, auto-detected on
+    load.
+A separate pretrained-GNN partial restore grafts only the gnn subtree
+(gnn_transformer.py:61-66,137-146). Sharded TrainStates (GSPMD dp×tp)
+round-trip through the same path: leaves are gathered to host numpy on
+save and re-placed by jit on the first step after restore."""
 
 from __future__ import annotations
 
@@ -24,7 +29,25 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str, state, epoch: int, extra: Optional[dict] = None):
+_ORBAX = {"ckptr": None}
+
+
+def _orbax_ckptr():
+    import orbax.checkpoint as ocp
+
+    if _ORBAX["ckptr"] is None:
+        _ORBAX["ckptr"] = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ORBAX["ckptr"]
+
+
+def wait_for_async():
+    """Block until any in-flight orbax save lands (call before exit)."""
+    if _ORBAX["ckptr"] is not None:
+        _ORBAX["ckptr"].wait_until_finished()
+
+
+def save_checkpoint(path: str, state, epoch: int, extra: Optional[dict] = None,
+                    backend: str = "pickle"):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     blob = {
         "params": _to_host(state.params),
@@ -34,6 +57,28 @@ def save_checkpoint(path: str, state, epoch: int, extra: Optional[dict] = None):
         "epoch": int(epoch),
         "extra": extra or {},
     }
+    if backend == "orbax":
+        # async orbax write of the array leaves (training continues while
+        # the heavy IO lands); the pytree STRUCTURE (treedefs, scalars,
+        # scheduler state) goes into a tiny synchronous sidecar so tuples
+        # vs lists survive the round trip exactly
+        import orbax.checkpoint as ocp
+
+        arrays = {k: blob[k] for k in ("params", "batch_stats", "opt_state")}
+        leaves, treedef = jax.tree_util.tree_flatten(arrays)
+        meta = {"treedef": treedef, "step": blob["step"],
+                "epoch": blob["epoch"], "extra": blob["extra"]}
+        tmp = path + ".meta.tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(meta, f)
+        os.replace(tmp, path + ".meta")
+        ck = _orbax_ckptr()
+        ck.wait_until_finished()  # one save in flight at a time
+        ck.save(os.path.abspath(path) + ".orbax",
+                args=ocp.args.PyTreeSave(
+                    {f"leaf_{i:04d}": v for i, v in enumerate(leaves)}),
+                force=True)
+        return
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(blob, f)
@@ -41,6 +86,17 @@ def save_checkpoint(path: str, state, epoch: int, extra: Optional[dict] = None):
 
 
 def load_checkpoint(path: str) -> Optional[dict]:
+    meta_path = path + ".meta"
+    if os.path.exists(meta_path) and os.path.isdir(path + ".orbax"):
+        with open(meta_path, "rb") as f:
+            meta = pickle.load(f)
+        ck = _orbax_ckptr()
+        ck.wait_until_finished()
+        stored = ck.restore(os.path.abspath(path) + ".orbax")
+        leaves = [stored[k] for k in sorted(stored)]
+        arrays = jax.tree_util.tree_unflatten(meta["treedef"], leaves)
+        return {**arrays, "step": meta["step"], "epoch": meta["epoch"],
+                "extra": meta["extra"]}
     if not os.path.exists(path):
         return None
     with open(path, "rb") as f:

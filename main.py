@@ -119,6 +119,10 @@ def build_parser():
                             "~2x faster masks, ~20 ms/step here) or "
                             "threefry2x32 (stream-stable across JAX "
                             "versions/backends)")
+    group.add_argument("--ckpt_backend", type=str, default="pickle",
+                       choices=["pickle", "orbax"],
+                       help="orbax: async array writes (training continues "
+                            "while checkpoint IO lands)")
     group.add_argument("--checkpoint_every_epoch", action="store_true",
                        default=False,
                        help="checkpoint after every epoch (default keeps the "
@@ -468,8 +472,10 @@ def main():
 
             if args.checkpoint_every_epoch or term_requested["flag"]:
                 extra = {"plateau": plateau.state_dict()} if plateau else {}
-                ckpt.save_checkpoint(last_path, state, epoch, extra)
+                ckpt.save_checkpoint(last_path, state, epoch, extra,
+                                     backend=args.ckpt_backend)
                 if term_requested["flag"]:
+                    ckpt.wait_for_async()
                     logger.warning("SIGTERM received — checkpointed, exiting")
                     signal.signal(signal.SIGTERM, old_handler)
                     raise SystemExit(143)
@@ -496,14 +502,17 @@ def main():
                 })
                 logger.info(f"Run {run_id} - train: {tm:.4f}, val: {vm:.4f}, test: {sm:.4f}")
                 extra = {"plateau": plateau.state_dict()} if plateau else {}
-                ckpt.save_checkpoint(last_path, state, epoch, extra)
+                ckpt.save_checkpoint(last_path, state, epoch, extra,
+                                     backend=args.ckpt_backend)
                 if best_val < vm:
                     best_val, final_test = vm, sm
                     metrics_log.set_summary(f"best/valid/{bundle.eval_metric}-runs{run_id}", vm)
                     metrics_log.set_summary(f"best/test/{bundle.eval_metric}-runs{run_id}", sm)
-                    ckpt.save_checkpoint(best_path, state, epoch, extra)
+                    ckpt.save_checkpoint(best_path, state, epoch, extra,
+                                         backend=args.ckpt_backend)
 
         signal.signal(signal.SIGTERM, old_handler)
+        ckpt.wait_for_async()
         blob = ckpt.load_checkpoint(best_path)
         if blob is not None:
             state = ckpt.restore_state(state, blob)

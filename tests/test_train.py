@@ -214,3 +214,30 @@ def test_freeze_gnn_pins_adam_moments(rng):
     head_after = head_opt_leaves(state.opt_state)
     assert any(np.abs(a - b).max() > 0
                for a, b in zip(head_before, head_after))
+
+
+def test_checkpoint_orbax_roundtrip(rng, tmp_path):
+    """Async orbax backend: save -> wait -> load must reproduce the state
+    exactly (structure sidecar keeps tuples/treedefs intact)."""
+    from graphtrans_tpu.train import checkpoint as ckpt
+
+    graphs = make_tu_dataset(num_graphs=24, seed=1)
+    args = default_args(scheduler=None, lr=1e-3)
+    model, state, step_fn, loader, trainer = _setup_training(graphs, args)
+    batch = next(iter(loader))
+    state, _ = step_fn(state, batch, jax.random.key(0))
+    path = str(tmp_path / "ck.ckpt")
+    ckpt.save_checkpoint(path, state, epoch=5, extra={"a": 1},
+                         backend="orbax")
+    ckpt.wait_for_async()
+    blob = ckpt.load_checkpoint(path)
+    assert blob["epoch"] == 5 and blob["extra"]["a"] == 1
+    model2, state2, _, _, _ = _setup_training(graphs, args)
+    restored = ckpt.restore_state(state2, blob)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(state.step)
