@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from ..nn import pooling
@@ -29,6 +30,22 @@ class NodePool(nn.Module):
 
     def __call__(self, h, batch, training: bool = False):
         ng = batch.num_graph_slots
+        if batch.node_stride > 0 and self.pooling in ("sum", "mean", "max"):
+            # strided layout: axis reductions instead of segment scatters
+            from ..ops.dense_mp import graph_sum
+
+            if self.pooling == "sum":
+                return graph_sum(h, batch)
+            m = batch.node_mask.reshape(ng, batch.node_stride)
+            hd = h.reshape(ng, batch.node_stride, h.shape[-1])
+            if self.pooling == "mean":
+                cnt = jnp.maximum(m.sum(1), 1).astype(h.dtype)
+                return graph_sum(h, batch) / cnt[:, None]
+            neg = jnp.finfo(h.dtype).min
+            mx = jnp.max(jnp.where(m[..., None], hd, neg), axis=1)
+            # empty graphs -> 0 (torch_scatter zero-init convention,
+            # matching ops/segment.segment_max)
+            return jnp.where(jnp.isfinite(mx) & (mx != neg), mx, 0)
         if self.pooling == "sum":
             return pooling.global_add_pool(h, batch.node_graph, batch.node_mask, ng)
         if self.pooling == "mean":

@@ -157,3 +157,23 @@ def test_driver_dense_layout(tmp_path):
         "--gnn_type", "gin", "--gnn_virtual_node", "--graph_pooling", "cls",
         "--scheduler", "cosine", "--dense_layout", "on"] + SMALL)
     assert 0.0 <= val <= 1.0
+
+
+def test_gnn_baseline_pooling_dense_matches_flat(rng):
+    """The gnn baseline's sum/mean/max readouts on strided batches equal the
+    flat segment-op path."""
+    import jax as _jax
+
+    graphs = make_tu_dataset(num_graphs=6, min_nodes=5, max_nodes=30, seed=8)
+    flat, dense = _pair(graphs)
+    for pool in ("sum", "mean", "max"):
+        args = default_args(model_type="gnn", graph_pooling=pool,
+                            gnn_type="gin", gnn_dropout=0.0)
+        model = MODELS["gnn"].build(2, args, LinearNodeEncoder(16),
+                                    ZeroEdgeEncoder)
+        v = model.init({"params": _jax.random.key(0),
+                        "dropout": _jax.random.key(1)}, flat, None, False)
+        of = model.apply(v, flat, None, False)
+        od = model.apply(v, dense, None, False)
+        np.testing.assert_allclose(np.asarray(of)[:6], np.asarray(od)[:6],
+                                   rtol=2e-4, atol=1e-5, err_msg=pool)
