@@ -94,11 +94,12 @@ _ATTN_BACKEND = "auto"
 
 
 def set_attn_backend(name: str):
-    """Process-wide attention backend for long sequences (trace-time):
-    'auto' (flash Pallas kernel on TPU, chunked lax.scan elsewhere, dense
-    below the threshold), or force 'flash' | 'chunked' | 'dense'."""
+    """Process-wide attention backend (trace-time). 'auto': on TPU, the
+    fused small-S Pallas kernel below the chunk threshold and the flash
+    kernel above it; elsewhere dense / chunked lax.scan. Or force one of
+    'flash' | 'smalls' | 'chunked' | 'dense'."""
     global _ATTN_BACKEND
-    assert name in ("auto", "flash", "chunked", "dense"), name
+    assert name in ("auto", "flash", "smalls", "chunked", "dense"), name
     _ATTN_BACKEND = name
 
 
@@ -136,14 +137,32 @@ class MultiheadSelfAttention(nn.Module):
         q, k, v = heads(q), heads(k), heads(v)
         backend = _ATTN_BACKEND
         if backend == "auto":
-            if S >= self.chunk_threshold and attn_bias is None:
+            # short sequences stay on the dense XLA path: the fused small-S
+            # kernel (attention_smallS) measured SLOWER on v5e (hd=32 lane
+            # padding quadruples its VMEM traffic; XLA's batched path wins
+            # at S~33) — kept as a forceable backend for experimentation
+            if S >= self.chunk_threshold:
                 backend = ("flash" if jax.default_backend() == "tpu"
                            else "chunked")
             else:
                 backend = "dense"
         if attn_bias is not None:
             backend = "dense"
-        if backend == "flash":
+        if backend == "smalls":
+            from ..ops.pallas.attention_smallS import attention_smallS
+
+            rate = self.dropout if training else 0.0
+            seed = (
+                jax.random.randint(self.make_rng("dropout"), (), 0, 2**31 - 1)
+                if rate > 0.0 else jnp.zeros((), jnp.int32)
+            )
+            kv_mask = jnp.broadcast_to(
+                key_valid[:, None, :], (B, self.nhead, S)).reshape(-1, S)
+            o = attention_smallS(
+                q.reshape(-1, S, hd), k.reshape(-1, S, hd),
+                v.reshape(-1, S, hd), kv_mask, seed, rate, training)
+            y = o.reshape(B, self.nhead, S, hd)
+        elif backend == "flash":
             from ..ops.pallas.flash_attention import flash_attention
 
             rate = self.dropout if training else 0.0

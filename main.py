@@ -89,7 +89,7 @@ def build_parser():
     group.add_argument("--use_pallas", action="store_true", default=False,
                        help="enable Pallas fused kernels for the GNN scatter path")
     group.add_argument("--attn_backend", type=str, default="auto",
-                       choices=["auto", "flash", "chunked", "dense"],
+                       choices=["auto", "flash", "smalls", "chunked", "dense"],
                        help="long-sequence attention path: auto = flash "
                             "Pallas kernel on TPU / chunked scan elsewhere "
                             "for S >= 512, dense below")

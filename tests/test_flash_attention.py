@@ -81,3 +81,33 @@ def test_flash_backend_in_module(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out_flash)[valid],
                                np.asarray(out_dense)[valid],
                                rtol=2e-4, atol=2e-5)
+
+
+def test_smalls_matches_dense_fwd_bwd(rng):
+    """Fused small-S attention kernel: exact vs the dense reference, with
+    padding masks, fully-masked rows, and a BH count that is not a tile
+    multiple."""
+    from graphtrans_tpu.ops.pallas.attention_smallS import attention_smallS
+
+    BH, S, hd = 100, 33, 32
+    q = jnp.asarray(rng.standard_normal((BH, S, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((BH, S, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((BH, S, hd)).astype(np.float32))
+    valid = np.ones((BH, S), bool)
+    valid[0, 20:] = False
+    valid[5, :] = False
+    vj = jnp.asarray(valid)
+
+    o_ref = _ref(q, k, v, vj)
+    o = attention_smallS(q, k, v, vj, 0, 0.0, False, True)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=1e-5, atol=1e-5)
+    assert np.abs(np.asarray(o)[5]).max() == 0.0
+    gr = jax.grad(lambda *a: jnp.sum(_ref(*a, vj) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(
+        lambda *a: jnp.sum(attention_smallS(*a, vj, 0, 0.0, False, True) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5)
