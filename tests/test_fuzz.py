@@ -75,3 +75,49 @@ def test_fuzz_loader_invariants():
                 seen.extend(np.asarray(b.graph_ids)[np.asarray(b.graph_mask)].tolist())
             assert sorted(seen) == list(range(len(graphs))), (
                 f"trial {trial} native={use_native}: coverage broken")
+
+
+def test_fuzz_dense_layout_invariants():
+    """Strided-layout fuzz: random shapes, python AND native collation —
+    batch invariants hold, dense edge tables agree with flat edges, and
+    epoch coverage is exact (oversized graphs excluded loudly)."""
+    rng = np.random.default_rng(7)
+    for trial in range(15):
+        n_graphs = int(rng.integers(3, 100))
+        graphs = make_tu_dataset(num_graphs=n_graphs,
+                                 min_nodes=int(rng.integers(2, 6)),
+                                 max_nodes=int(rng.integers(7, 50)),
+                                 seed=100 + trial)
+        bs = int(rng.integers(1, n_graphs + 4))
+        for use_native in ((False, True) if native.native_available() else (False,)):
+            loader = GraphLoader(graphs, bs, shuffle=bool(trial % 2),
+                                 seed=trial, num_tasks=2, y_dtype="int32",
+                                 dense_layout=True, use_native=use_native)
+            assert loader.node_stride > 0
+            seen = []
+            for b in loader:
+                check_batch_invariants(b, len(graphs))
+                assert b.node_stride == loader.node_stride
+                N = b.node_feat.shape[0]
+                assert N == b.num_graph_slots * b.node_stride
+                # strided placement: node_graph of valid rows == row // stride
+                nm = np.asarray(b.node_mask)
+                rows = np.nonzero(nm)[0]
+                np.testing.assert_array_equal(
+                    np.asarray(b.node_graph)[rows], rows // b.node_stride)
+                # dense edge tables reproduce the flat edges exactly
+                em = np.asarray(b.edge_mask)
+                es = np.asarray(b.edge_src)[em]
+                ed = np.asarray(b.edge_dst)[em]
+                flat_pairs = set(zip(es.tolist(), ed.tolist()))
+                emd = np.asarray(b.edge_mask_dense)
+                gsrc = np.asarray(b.edge_src_dense)
+                gdst = np.asarray(b.edge_dst_dense)
+                dense_pairs = set()
+                for g in range(b.num_graph_slots):
+                    for e in np.nonzero(emd[g])[0]:
+                        dense_pairs.add((int(gsrc[g, e] + g * b.node_stride),
+                                         int(gdst[g, e] + g * b.node_stride)))
+                assert dense_pairs == flat_pairs
+                seen.extend(np.asarray(b.graph_ids)[np.asarray(b.graph_mask)].tolist())
+            assert sorted(seen) == list(range(len(graphs)))
