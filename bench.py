@@ -138,7 +138,8 @@ def time_steps(step, state, batch, rng, warmup=3, iters=20):
         return float(loss)
 
     run(max(warmup, 2))
-    k_short, k_long = max(iters // 4, 1), iters
+    k_short = max(iters // 4, 1)
+    k_long = max(iters, k_short + 1)
     t = {}
     for k in (k_short, k_long):
         ts = []

@@ -77,26 +77,9 @@ def main():
                                   tx, margs, "gnn_node", n, donate=False)
         stacked = jax.device_put(stacked)
         rng = jax.random.key(0)
+        from bench import time_steps
 
-        # two-point slope timing (see bench.py:time_steps): cancels the
-        # constant dispatch/sync RTT of the tunneled backend
-        def run(k, s0):
-            s, loss = s0, None
-            for _ in range(k):
-                s, loss = step(s, stacked, rng)
-            return float(loss)
-
-        run(2, state)
-        k_short, k_long = max(args.iters // 4, 1), args.iters
-        t = {}
-        for k in (k_short, k_long):
-            ts = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                run(k, state)
-                ts.append(time.perf_counter() - t0)
-            t[k] = min(ts)
-        dt = max(t[k_long] - t[k_short], 1e-9) / (k_long - k_short)
+        dt = time_steps(step, state, stacked, rng, iters=args.iters)
         results[n] = {"edges": edges, "step_ms": round(dt * 1e3, 2),
                       "edges_per_s": round(edges / dt, 1)}
 

@@ -42,7 +42,10 @@ def embed_lookup(tbl, idx):
         return tbl[idx]
     flat = idx.reshape(-1)
     oh = jax.nn.one_hot(flat, n, dtype=tbl.dtype)
-    out = oh @ tbl
+    # HIGHEST keeps the selection exact on TPU (one-hot rows are exact in
+    # any dtype; the table operand's pass-splitting reconstructs full f32)
+    out = jax.lax.dot_general(oh, tbl, (((1,), (0,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST)
     return out.reshape(idx.shape + (tbl.shape[1],))
 
 # OGB molecule categorical feature cardinalities

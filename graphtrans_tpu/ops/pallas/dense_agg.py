@@ -181,6 +181,5 @@ fused_dense_agg.defvjp(_fwd_rule, _bwd_rule)
 
 
 def supported(batch, d):
-    return (batch.node_stride > 0
-            and batch.num_graph_slots % GT == 0
-            and d % 128 == 0)
+    # G need not divide by GT — the caller pads the graph axis
+    return batch.node_stride > 0 and d % 128 == 0

@@ -61,21 +61,25 @@ def save_checkpoint(path: str, state, epoch: int, extra: Optional[dict] = None,
         # async orbax write of the array leaves (training continues while
         # the heavy IO lands); the pytree STRUCTURE (treedefs, scalars,
         # scheduler state) goes into a tiny synchronous sidecar so tuples
-        # vs lists survive the round trip exactly
+        # vs lists survive the round trip exactly. Each save is a NEW
+        # generation directory `<path>.orbax.<step>` — the previous
+        # generation stays durable until the next save confirms this one
+        # finished, so a crash mid-write never loses both.
         import orbax.checkpoint as ocp
 
         arrays = {k: blob[k] for k in ("params", "batch_stats", "opt_state")}
         leaves, treedef = jax.tree_util.tree_flatten(arrays)
         meta = {"treedef": treedef, "step": blob["step"],
                 "epoch": blob["epoch"], "extra": blob["extra"]}
-        tmp = path + ".meta.tmp"
+        ck = _orbax_ckptr()
+        ck.wait_until_finished()  # previous generation is durable now
+        _gc_orbax(path, keep=1)
+        gen = os.path.abspath(path) + f".orbax.{blob['step']:012d}"
+        tmp = gen + ".meta.tmp"
         with open(tmp, "wb") as f:
             pickle.dump(meta, f)
-        os.replace(tmp, path + ".meta")
-        ck = _orbax_ckptr()
-        ck.wait_until_finished()  # one save in flight at a time
-        ck.save(os.path.abspath(path) + ".orbax",
-                args=ocp.args.PyTreeSave(
+        os.replace(tmp, gen + ".meta")
+        ck.save(gen, args=ocp.args.PyTreeSave(
                     {f"leaf_{i:04d}": v for i, v in enumerate(leaves)}),
                 force=True)
         return
@@ -85,18 +89,44 @@ def save_checkpoint(path: str, state, epoch: int, extra: Optional[dict] = None,
     os.replace(tmp, path)
 
 
+def _orbax_generations(path: str):
+    import glob as _glob
+
+    metas = sorted(_glob.glob(_glob.escape(os.path.abspath(path))
+                              + ".orbax.*.meta"), reverse=True)
+    return [m[: -len(".meta")] for m in metas]
+
+
+def _gc_orbax(path: str, keep: int = 1):
+    import shutil
+
+    for gen in _orbax_generations(path)[keep:]:
+        shutil.rmtree(gen, ignore_errors=True)
+        try:
+            os.remove(gen + ".meta")
+        except OSError:
+            pass
+
+
 def load_checkpoint(path: str) -> Optional[dict]:
-    meta_path = path + ".meta"
-    if os.path.exists(meta_path) and os.path.isdir(path + ".orbax"):
-        with open(meta_path, "rb") as f:
-            meta = pickle.load(f)
-        ck = _orbax_ckptr()
-        ck.wait_until_finished()
-        stored = ck.restore(os.path.abspath(path) + ".orbax")
-        leaves = [stored[k] for k in sorted(stored)]
-        arrays = jax.tree_util.tree_unflatten(meta["treedef"], leaves)
-        return {**arrays, "step": meta["step"], "epoch": meta["epoch"],
-                "extra": meta["extra"]}
+    pickle_mtime = os.path.getmtime(path) if os.path.exists(path) else -1.0
+    for gen in _orbax_generations(path):
+        if not os.path.isdir(gen):
+            continue
+        if pickle_mtime > os.path.getmtime(gen + ".meta"):
+            break  # a newer pickle checkpoint supersedes the orbax ones
+        try:
+            with open(gen + ".meta", "rb") as f:
+                meta = pickle.load(f)
+            ck = _orbax_ckptr()
+            ck.wait_until_finished()
+            stored = ck.restore(gen)
+            leaves = [stored[k] for k in sorted(stored)]
+            arrays = jax.tree_util.tree_unflatten(meta["treedef"], leaves)
+            return {**arrays, "step": meta["step"], "epoch": meta["epoch"],
+                    "extra": meta["extra"]}
+        except Exception:
+            continue  # partial generation (crash mid-save): try the older one
     if not os.path.exists(path):
         return None
     with open(path, "rb") as f:

@@ -153,8 +153,20 @@ def make_loaders(bundle, args, num_shards=1):
         max_n = max((int(g["x"].shape[0]) for g in all_graphs), default=1)
         max_e = max((int(g["edge_index"].shape[1]) for g in all_graphs),
                     default=1)
-        common["dense_layout"] = True
-        common["dense_caps"] = (bucket_size(max_n, 16), bucket_size(max_e, 8))
+        # the one-hot formulation's FLOP inflation is the stride, so auto
+        # only engages in the measured-win regime (molecule/NCI-scale
+        # graphs); --dense_layout on overrides for experimentation
+        if args.dense_layout == "auto" and max_n > 128:
+            logger.info(f"dense_layout auto: off (largest graph {max_n} "
+                        "nodes > 128 — flat segment path wins there)")
+        else:
+            if max_n > 128:
+                logger.warning(f"dense_layout forced on with {max_n}-node "
+                               "graphs: one-hot aggregation cost grows with "
+                               "the stride")
+            common["dense_layout"] = True
+            common["dense_caps"] = (bucket_size(max_n, 16),
+                                    bucket_size(max_e, 8))
     train_loader = GraphLoader(bundle.splits["train"], args.batch_size,
                                shuffle=True, seed=args.seed or 0,
                                num_shards=num_shards, **common)

@@ -241,3 +241,36 @@ def test_checkpoint_orbax_roundtrip(rng, tmp_path):
                     jax.tree_util.tree_leaves(restored.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored.step) == int(state.step)
+
+
+def test_checkpoint_orbax_crash_safety_and_freshness(rng, tmp_path):
+    """A newer pickle checkpoint supersedes stale orbax generations, and a
+    partial (crashed) generation falls back to the previous durable one."""
+    import shutil
+    import time as _time
+
+    from graphtrans_tpu.train import checkpoint as ckpt
+
+    graphs = make_tu_dataset(num_graphs=24, seed=1)
+    args = default_args(scheduler=None, lr=1e-3)
+    model, state, step_fn, loader, trainer = _setup_training(graphs, args)
+    batch = next(iter(loader))
+    path = str(tmp_path / "ck.ckpt")
+
+    ckpt.save_checkpoint(path, state, epoch=1, backend="orbax")
+    ckpt.wait_for_async()
+    state2, _ = step_fn(state, batch, jax.random.key(0))
+    ckpt.save_checkpoint(path, state2, epoch=2, backend="orbax")
+    ckpt.wait_for_async()
+    assert ckpt.load_checkpoint(path)["epoch"] == 2
+
+    # simulate a crash mid-save: nuke the newest generation's array dir
+    gens = ckpt._orbax_generations(path)
+    shutil.rmtree(gens[0])
+    assert ckpt.load_checkpoint(path)["epoch"] == 1  # falls back
+
+    # a NEWER pickle save wins over older orbax generations
+    _time.sleep(0.05)
+    state3, _ = step_fn(state2, batch, jax.random.key(1))
+    ckpt.save_checkpoint(path, state3, epoch=7, backend="pickle")
+    assert ckpt.load_checkpoint(path)["epoch"] == 7
