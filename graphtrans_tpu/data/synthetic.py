@@ -63,10 +63,10 @@ def make_mol_dataset(num_graphs=200, num_tasks=8, min_nodes=8, max_nodes=35, see
         ei = _random_connected_graph(rng, n, int(rng.integers(0, n // 2 + 1)))
         x = np.stack(
             [rng.integers(0, d, size=n) for d in ATOM_FEATURE_DIMS], axis=1
-        ).astype(np.int32)
+        ).astype(np.int8)
         ea = np.stack(
             [rng.integers(0, d, size=ei.shape[1]) for d in BOND_FEATURE_DIMS], axis=1
-        ).astype(np.int32)
+        ).astype(np.int8)
         base = (x[:, 0].mean() / ATOM_FEATURE_DIMS[0]) + ei.shape[1] / (4.0 * n)
         signals.append(base + rng.normal(0, 0.1, size=num_tasks))
         graphs.append({"x": x, "edge_index": ei, "edge_attr": ea})
