@@ -29,9 +29,12 @@ GT = 16  # graphs per grid step
 
 
 def _one_hot(idx, mask, size, dtype):
+    # Mosaic cannot insert a minor dim on 1-bit vectors, so the mask joins
+    # as a 32-bit multiply instead of a boolean &
     iota = jax.lax.broadcasted_iota(jnp.int32, idx.shape + (size,),
                                     len(idx.shape))
-    return ((idx[..., None] == iota) & mask[..., None]).astype(dtype)
+    oh = (idx[..., None] == iota).astype(dtype)
+    return oh * mask.astype(dtype)[..., None]
 
 
 def _fwd_kernel(x_ref, src_ref, dst_ref, emask_ref, emb_ref, w_ref, out_ref,
@@ -49,16 +52,18 @@ def _fwd_kernel(x_ref, src_ref, dst_ref, emask_ref, emb_ref, w_ref, out_ref,
     oh_dst = _one_hot(dst, emask, sm, jnp.float32)
     xs = jax.lax.dot_general(
         oh_src, xs_all, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)          # [GT, Em, d]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)          # [GT, Em, d]
     m = xs + emb_all
     if relu:
         m = jnp.maximum(m, 0)
     if has_w:
         m = m * w_ref[...][..., None].astype(jnp.float32)
-    m = jnp.where(emask[..., None], m, 0)
+    m = m * emask.astype(jnp.float32)[..., None]
     out_ref[...] = jax.lax.dot_general(
         oh_dst, m, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).astype(out_ref.dtype)
 
 
 def _bwd_kernel(x_ref, src_ref, dst_ref, emask_ref, emb_ref, w_ref, g_ref,
@@ -76,10 +81,12 @@ def _bwd_kernel(x_ref, src_ref, dst_ref, emask_ref, emb_ref, w_ref, g_ref,
     # dmsg = one_hot(dst) @ gout  (gather of the output cotangent)
     dmsg = jax.lax.dot_general(
         oh_dst, gout, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)          # [GT, Em, d]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)          # [GT, Em, d]
     xs = jax.lax.dot_general(
         oh_src, xs_all, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     pre = xs + emb_all
     m0 = jnp.maximum(pre, 0) if relu else pre
     if has_w:
@@ -89,11 +96,12 @@ def _bwd_kernel(x_ref, src_ref, dst_ref, emask_ref, emb_ref, w_ref, g_ref,
         dmsg = dmsg * w_ref[...][..., None].astype(jnp.float32)
     if relu:
         dmsg = jnp.where(pre > 0, dmsg, 0)
-    dmsg = jnp.where(emask[..., None], dmsg, 0)
+    dmsg = dmsg * emask.astype(jnp.float32)[..., None]
     demb_ref[...] = dmsg.astype(demb_ref.dtype)
     dx_ref[...] = jax.lax.dot_general(
         oh_src, dmsg, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).astype(dx_ref.dtype)
 
 
 def _call_fwd(xd, src, dst, emask, emb, w, relu, interpret):
