@@ -87,7 +87,11 @@ def build_parser():
                        help="node-sharded (halo-exchange) execution over the "
                             "mesh — gnn-transformer with gnn_type=gin only")
     group.add_argument("--use_pallas", action="store_true", default=False,
-                       help="enable Pallas fused kernels for the GNN scatter path")
+                       help="route aggregation through the Pallas fused "
+                            "kernels (dense layout: ops/pallas/dense_agg, "
+                            "f32-exact, measured at par with the default "
+                            "XLA one-hot path; flat layout: ops/pallas/"
+                            "spmm, slower — both opt-in)")
     group.add_argument("--attn_backend", type=str, default="auto",
                        choices=["auto", "flash", "smalls", "chunked", "dense"],
                        help="long-sequence attention path: auto = flash "
