@@ -71,3 +71,53 @@ def test_scatter_mxu_kernel_matches_xla(rng):
     assert got is not None
     ref = segment.segment_sum(msg, dst, N)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_dense_agg_matches_xla_dense(rng):
+    """ops/pallas/dense_agg (interpret mode): bit-identical to the XLA
+    one-hot formulation for fwd and all grads, with and without relu /
+    per-edge weights."""
+    import jax
+    import jax.numpy as jnp
+    from jax.lax import Precision
+
+    from graphtrans_tpu.ops.pallas.dense_agg import GT, fused_dense_agg
+
+    G, Sm, Em, d = GT * 2, 24, 40, 128
+    xd = jnp.asarray(rng.standard_normal((G, Sm, d)).astype(np.float32))
+    src = jnp.asarray(rng.integers(0, Sm, (G, Em)).astype(np.int32))
+    dst = jnp.asarray(rng.integers(0, Sm, (G, Em)).astype(np.int32))
+    emask = jnp.asarray(rng.random((G, Em)) > 0.2)
+    emb = jnp.asarray(rng.standard_normal((G, Em, d)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((G, Em)).astype(np.float32))
+
+    def ref(xd, emb, wa, relu):
+        iota = jnp.arange(Sm)
+        oh_s = ((src[..., None] == iota) & emask[..., None]).astype(jnp.float32)
+        oh_d = ((dst[..., None] == iota) & emask[..., None]).astype(jnp.float32)
+        xs = jax.lax.dot_general(oh_s, xd, (((2,), (1,)), ((0,), (0,))),
+                                 precision=Precision.HIGHEST)
+        m = jnp.maximum(xs + emb, 0) if relu else xs + emb
+        if wa is not None:
+            m = m * wa[..., None]
+        m = jnp.where(emask[..., None], m, 0)
+        return jax.lax.dot_general(oh_d, m, (((1,), (1,)), ((0,), (0,))),
+                                   precision=Precision.HIGHEST)
+
+    for relu in (True, False):
+        for wa in (None, w):
+            o_ref = ref(xd, emb, wa, relu)
+            o = fused_dense_agg(xd, src, dst, emask, emb, wa, relu, True)
+            np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                                       rtol=1e-6, atol=1e-6)
+            argn = (0, 1) + ((2,) if wa is not None else ())
+            a = (xd, emb) + ((w,) if wa is not None else ())
+            gr = jax.grad(lambda x, e, *rest: jnp.sum(
+                ref(x, e, rest[0] if rest else None, relu) ** 2),
+                argnums=argn)(*a)
+            gf = jax.grad(lambda x, e, *rest: jnp.sum(fused_dense_agg(
+                x, src, dst, emask, e, rest[0] if rest else None, relu,
+                True) ** 2), argnums=argn)(*a)
+            for ga, gb in zip(gr, gf):
+                np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                           rtol=1e-6, atol=1e-6)
