@@ -200,3 +200,13 @@ def test_driver_dp_with_dense_layout(tmp_path):
         "--gnn_type", "gin", "--graph_pooling", "cls",
         "--dense_layout", "on", "--dp_shards", "2"] + SMALL)
     assert 0.0 <= val <= 1.0
+
+
+def test_driver_flag_with_dense_layout(tmp_path):
+    """FLAG adversarial training composes with the strided layout (perturb
+    rides the strided node rows)."""
+    val, test = run_main(tmp_path, [
+        "--dataset", "NCI1", "--model_type", "gnn-transformer",
+        "--gnn_type", "gin", "--graph_pooling", "cls", "--aug", "flag",
+        "-m", "2", "--dense_layout", "on"] + SMALL)
+    assert 0.0 <= val <= 1.0
