@@ -22,9 +22,10 @@ from jax.sharding import PartitionSpec as P
 from ..trainers.base_trainer import apply_update
 
 
-def transformer_param_spec(path_tuple) -> P:
+def transformer_param_spec(path_tuple, shape=None) -> P:
     """Sharding rule keyed on parameter path (megatron split for the
-    attention/FF matmul pairs; everything else replicated)."""
+    attention/FF matmul pairs and the GIN/virtual-node d->2d->d MLPs;
+    everything else replicated)."""
     keys = [getattr(k, "key", str(k)) for k in path_tuple]
     path = "/".join(str(k) for k in keys)
     leaf = keys[-1] if keys else ""
@@ -41,12 +42,25 @@ def transformer_param_spec(path_tuple) -> P:
         return P("model")
     if "layer_" in path and "TDense_1" in path and leaf == "kernel":
         return P("model", None)  # FF down-projection [ff, d]
+    # GIN conv MLPs and virtual-node MLPs are the same megatron pair shape
+    # (Linear d->2d, Linear 2d->d); the BatchNorm between them keeps
+    # per-feature statistics, which shard cleanly along 'model'. The shape
+    # guard excludes GCN's square x-projection (also named TDense_0).
+    in_mlp = "conv_" in path or "vn_mlp_" in path
+    if in_mlp and leaf == "kernel" and shape is not None:
+        if "TDense_0" in path and shape[1] == 2 * shape[0]:
+            return P(None, "model")  # up-projection [d, 2d]
+        if "TDense_1" in path and shape[0] == 2 * shape[1]:
+            return P("model", None)  # down-projection [2d, d]
+    if in_mlp and ("mlp_bn" in path or "MaskedBatchNorm_0" in path):
+        return P("model")  # scale/bias over the sharded 2d features
     return P()
 
 
 def shard_params(params, mesh: Mesh):
     def place(path, x):
-        return jax.device_put(x, NamedSharding(mesh, transformer_param_spec(path)))
+        spec = transformer_param_spec(path, getattr(x, "shape", None))
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
 

@@ -151,8 +151,11 @@ def test_gspmd_dp_tp_step(rng):
 
     graphs = make_tu_dataset(num_graphs=32, seed=7)
     batch = collate(graphs, 33, 1024, 4096)
+    # gin + virtual so the megatron rules for the conv/VN d->2d->d MLPs
+    # engage alongside the transformer pair
     args = default_args(gnn_dropout=0.0, transformer_dropout=0.0,
-                        weight_decay=0.0)
+                        weight_decay=0.0, gnn_type="gin",
+                        gnn_virtual_node=True)
     args.bn_axis_name = None
     model = MODELS["gnn-transformer"].build(2, args, LinearNodeEncoder(16),
                                             ZeroEdgeEncoder)
@@ -176,6 +179,11 @@ def test_gspmd_dp_tp_step(rng):
     flat = jax.tree_util.tree_leaves(
         specs, is_leaf=lambda s: isinstance(s, type(jax.sharding.PartitionSpec())))
     assert any("model" in str(s) for s in flat)
+    conv_specs = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: x.sharding.spec,
+                               sharded_params["gnn_node"]),
+        is_leaf=lambda s: isinstance(s, type(jax.sharding.PartitionSpec())))
+    assert any("model" in str(s) for s in conv_specs), "GIN MLPs not sharded"
 
     step = gspmd.make_gspmd_train_step(trainer, model,
                                        losses.classification_loss, tx, args,
