@@ -80,7 +80,7 @@ def gather_message_scatter_dense(x, batch, edge_emb, message: str = "relu_add",
     xd = x.reshape(G, Sm, d)
 
     from . import scatter as _scatter
-    if _scatter.pallas_enabled():
+    if _scatter.pallas_enabled() and jax.default_backend() == "tpu":
         from .pallas import dense_agg
 
         if dense_agg.supported(batch, d):
