@@ -94,9 +94,10 @@ _ATTN_BACKEND = "auto"
 
 
 def set_attn_backend(name: str):
-    """Process-wide attention backend (trace-time). 'auto': on TPU, the
-    fused small-S Pallas kernel below the chunk threshold and the flash
-    kernel above it; elsewhere dense / chunked lax.scan. Or force one of
+    """Process-wide attention backend (trace-time). 'auto': the flash
+    Pallas kernel on TPU for S >= chunk_threshold, chunked lax.scan off-TPU,
+    dense XLA below the threshold (the fused small-S kernel measured slower
+    there and is opt-in only). Or force one of
     'flash' | 'smalls' | 'chunked' | 'dense'."""
     global _ATTN_BACKEND
     assert name in ("auto", "flash", "smalls", "chunked", "dense"), name

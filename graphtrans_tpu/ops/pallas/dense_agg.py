@@ -169,7 +169,11 @@ def _call_bwd(xd, src, dst, emask, emb, w, gout, relu, interpret):
 def fused_dense_agg(xd, src, dst, emask, emb, w, relu: bool = True,
                     interpret: bool = False):
     """xd [G,Sm,d], src/dst/emask [G,Em], emb [G,Em,d], w [G,Em] or None ->
-    [G,Sm,d]. G must divide by GT; caller falls back otherwise."""
+    [G,Sm,d]. G must be a GT multiple — callers pad the graph axis
+    (ops/dense_mp.py does)."""
+    if xd.shape[0] % GT != 0:
+        raise ValueError(f"G={xd.shape[0]} must be a multiple of GT={GT}; "
+                         "pad the graph axis (see ops/dense_mp.py)")
     return _call_fwd(xd, src, dst, emask, emb, w, relu, interpret)
 
 

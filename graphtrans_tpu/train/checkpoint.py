@@ -98,9 +98,17 @@ def _orbax_generations(path: str):
 
 
 def _gc_orbax(path: str, keep: int = 1):
+    """Remove all but the newest `keep` VALID generations. Validity = the
+    array directory exists: a crash between the meta write and the async
+    array save leaves an orphan meta, which must never count toward `keep`
+    (else GC would delete the only restorable checkpoint)."""
     import shutil
 
-    for gen in _orbax_generations(path)[keep:]:
+    kept = 0
+    for gen in _orbax_generations(path):
+        if os.path.isdir(gen) and kept < keep:
+            kept += 1
+            continue
         shutil.rmtree(gen, ignore_errors=True)
         try:
             os.remove(gen + ".meta")
@@ -121,7 +129,10 @@ def load_checkpoint(path: str) -> Optional[dict]:
             ck = _orbax_ckptr()
             ck.wait_until_finished()
             stored = ck.restore(gen)
-            leaves = [stored[k] for k in sorted(stored)]
+            # numeric sort: lexicographic key order would scramble trees
+            # with >= 10^4 leaves
+            leaves = [stored[k] for k in
+                      sorted(stored, key=lambda k: int(k.rsplit("_", 1)[1]))]
             arrays = jax.tree_util.tree_unflatten(meta["treedef"], leaves)
             return {**arrays, "step": meta["step"], "epoch": meta["epoch"],
                     "extra": meta["extra"]}

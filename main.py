@@ -134,6 +134,19 @@ def build_parser():
     return parser
 
 
+def resolve_dense_layout(args) -> bool:
+    """Single source of truth for the strided-layout routing (main.py and
+    predict.py both consult it): on when forced, or automatically for
+    gin/gcn conv models outside hybrid/masked-encoder modes (the loader
+    additionally falls back when graphs exceed the measured-win stride)."""
+    return (args.dense_layout == "on"
+            or (args.dense_layout == "auto"
+                and args.model_type in ("gnn", "gnn-transformer")
+                and args.gnn_type in ("gin", "gcn")
+                and getattr(args, "hybrid_shards", 1) == 1
+                and getattr(args, "num_encoder_layers_masked", 0) == 0))
+
+
 def make_loaders(bundle, args, num_shards=1):
     all_graphs = sum(bundle.splits.values(), [])
     eval_bs = args.batch_size if args.eval_batch_size is None else args.eval_batch_size
@@ -223,13 +236,7 @@ def main():
     # GSPMD consumes ONE logical batch (jit shards it over 'data'); only the
     # shard_map DP path wants loader-side stacked shard batches
     args.loader_shards = 1 if args.use_gspmd else args.dp_shards
-    args.use_dense_layout = (
-        args.dense_layout == "on"
-        or (args.dense_layout == "auto"
-            and args.model_type in ("gnn", "gnn-transformer")
-            and args.gnn_type in ("gin", "gcn")
-            and args.hybrid_shards == 1
-            and getattr(args, "num_encoder_layers_masked", 0) == 0))
+    args.use_dense_layout = resolve_dense_layout(args)
     if args.hybrid_shards > 1:
         if args.dp_shards > 1:
             raise SystemExit("--hybrid_shards and --dp_shards are exclusive")

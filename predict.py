@@ -43,13 +43,9 @@ def main():
     args = parser.parse_args()
     args.bn_axis_name = None
     jax.config.update("jax_default_prng_impl", args.prng_impl)
-    # same dense-layout routing as the training driver
-    args.use_dense_layout = (
-        args.dense_layout == "on"
-        or (args.dense_layout == "auto"
-            and args.model_type in ("gnn", "gnn-transformer")
-            and args.gnn_type in ("gin", "gcn")
-            and getattr(args, "num_encoder_layers_masked", 0) == 0))
+    from main import resolve_dense_layout
+
+    args.use_dense_layout = resolve_dense_layout(args)
 
     bundle = dataset_util.preprocess(args, model_cls, seed=args.seed)
     loaders = make_loaders(bundle, args)
