@@ -269,8 +269,21 @@ def test_checkpoint_orbax_crash_safety_and_freshness(rng, tmp_path):
     shutil.rmtree(gens[0])
     assert ckpt.load_checkpoint(path)["epoch"] == 1  # falls back
 
+    # GC must not count the orphan meta toward the keep quota: the next
+    # save runs GC first, and the older VALID generation must survive
+    # until the new one is durable
+    state3, _ = step_fn(state2, batch, jax.random.key(1))
+    ckpt.save_checkpoint(path, state3, epoch=3, backend="orbax")
+    # simulate a crash of THIS save too, before it lands
+    gens_now = ckpt._orbax_generations(path)
+    ckpt.wait_for_async()
+    import shutil as _sh
+
+    _sh.rmtree(gens_now[0])
+    assert ckpt.load_checkpoint(path)["epoch"] == 1  # gen-1 still alive
+
     # a NEWER pickle save wins over older orbax generations
     _time.sleep(0.05)
-    state3, _ = step_fn(state2, batch, jax.random.key(1))
-    ckpt.save_checkpoint(path, state3, epoch=7, backend="pickle")
+    state4, _ = step_fn(state3, batch, jax.random.key(2))
+    ckpt.save_checkpoint(path, state4, epoch=7, backend="pickle")
     assert ckpt.load_checkpoint(path)["epoch"] == 7
