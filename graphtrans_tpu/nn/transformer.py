@@ -98,10 +98,32 @@ def set_attn_backend(name: str):
     Pallas kernel on TPU for S >= chunk_threshold, chunked lax.scan off-TPU,
     dense XLA below the threshold (the fused small-S kernel measured slower
     there and is opt-in only). Or force one of
-    'flash' | 'smalls' | 'chunked' | 'dense'."""
+    'flash' | 'smalls' | 'chunked' | 'dense' | 'packed'.
+
+    'packed' (short sequences): TransformerNodeEncoder reshapes GB graphs'
+    rows into one packed row [B/GB, GB*S, d] (free, row-major) and runs the
+    WHOLE layer stack in that layout — LayerNorm/FF/projections are row-wise
+    so only attention changes, becoming block-diagonal (each graph attends
+    within its own S-token block), still on XLA's dense batched-matmul path.
+    Addresses the profiled failure mode of the flagship step: XLA lowers
+    S~33 attention as ~16k tiny [33,32] matmuls at <1% MXU utilization
+    (latency-bound). MEASURED (v5e, bs=4096 flagship, bf16): 80.9 ms step
+    vs 97.7 dense — 'auto' therefore packs on TPU whenever GB > 1.
+    'packed_smalls' routes the packed rows through the fused Pallas
+    block-diagonal kernel instead (ops/pallas/attention_smallS.py, block>0)
+    — measured SLOWER (101.5 ms: hd=32 pads to 128 VMEM lanes, 4x the DMA
+    bytes) and kept opt-in for experimentation."""
     global _ATTN_BACKEND
-    assert name in ("auto", "flash", "smalls", "chunked", "dense"), name
+    assert name in ("auto", "flash", "smalls", "chunked", "dense",
+                    "packed", "packed_smalls"), name
     _ATTN_BACKEND = name
+
+
+def _block_mask(key_valid, block: int, S: int):
+    """[..., S] key mask -> [..., S, S] block-diagonal attention mask."""
+    grp = jnp.arange(S, dtype=jnp.int32) // block
+    same = grp[:, None] == grp[None, :]
+    return key_valid[..., None, :] & same
 
 
 class MultiheadSelfAttention(nn.Module):
@@ -123,7 +145,12 @@ class MultiheadSelfAttention(nn.Module):
     key_chunk: int = 128
 
     @nn.compact
-    def __call__(self, x, key_valid, training: bool, attn_bias=None):
+    def __call__(self, x, key_valid, training: bool, attn_bias=None,
+                 block: int = 0):
+        """block > 0: x holds graph-packed rows (see set_attn_backend
+        'packed') — attention is restricted to `block`-sized diagonal
+        groups. Runs in the fused Pallas kernel on TPU, dense XLA with a
+        block-diagonal mask elsewhere."""
         B, S, d = x.shape
         assert d == self.d_model and d % self.nhead == 0
         hd = d // self.nhead
@@ -137,7 +164,13 @@ class MultiheadSelfAttention(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         backend = _ATTN_BACKEND
-        if backend == "auto":
+        if block > 0:
+            # packed rows: XLA dense block-mask attention (the measured
+            # winner); 'packed_smalls' = opt-in fused Pallas kernel arm
+            backend = ("smalls" if (jax.default_backend() == "tpu"
+                                    and backend == "packed_smalls")
+                       else "dense")
+        elif backend == "auto":
             # short sequences stay on the dense XLA path: the fused small-S
             # kernel (attention_smallS) measured SLOWER on v5e (hd=32 lane
             # padding quadruples its VMEM traffic; XLA's batched path wins
@@ -161,7 +194,8 @@ class MultiheadSelfAttention(nn.Module):
                 key_valid[:, None, :], (B, self.nhead, S)).reshape(-1, S)
             o = attention_smallS(
                 q.reshape(-1, S, hd), k.reshape(-1, S, hd),
-                v.reshape(-1, S, hd), kv_mask, seed, rate, training)
+                v.reshape(-1, S, hd), kv_mask, seed, rate, training,
+                False, block)
             y = o.reshape(B, self.nhead, S, hd)
         elif backend == "flash":
             from ..ops.pallas.flash_attention import flash_attention
@@ -193,7 +227,9 @@ class MultiheadSelfAttention(nn.Module):
             scores = scores / jnp.sqrt(jnp.asarray(hd, scores.dtype))
             if attn_bias is not None:
                 scores = scores + attn_bias
-            att = masked_softmax(scores, key_valid[:, None, None, :])
+            mask = (key_valid[:, None, None, :] if block <= 0
+                    else _block_mask(key_valid, block, S)[:, None])
+            att = masked_softmax(scores, mask)
             att = ByteDropout(self.dropout)(att, deterministic=not training)
             y = jnp.einsum("bhqk,bhkd->bhqd", att, v.astype(att.dtype))
         y = y.transpose(0, 2, 1, 3).reshape(B, S, d).astype(x.dtype)
@@ -213,11 +249,11 @@ class TransformerEncoderLayer(nn.Module):
     activation: str = "relu"
 
     @nn.compact
-    def __call__(self, x, key_valid, training: bool):
+    def __call__(self, x, key_valid, training: bool, block: int = 0):
         act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
         drop = lambda t: ByteDropout(self.dropout)(t, deterministic=not training)
         a = MultiheadSelfAttention(self.d_model, self.nhead, self.dropout)(
-            x, key_valid, training
+            x, key_valid, training, block=block
         )
         x = nn.LayerNorm()(x + drop(a))
         f = TDense(self.dim_feedforward)(x)
@@ -265,13 +301,35 @@ class TransformerNodeEncoder(nn.Module):
         if self.norm_input:
             dense = nn.LayerNorm(name="norm_input")(dense)
         dense = self._sp(dense)
+
+        # graph-packed layout (see set_attn_backend): run the whole stack on
+        # [B/GB, GB*S, d] rows with block-diagonal attention. The reshapes
+        # are free (row-major); GB*S stays <= 128 so score tiles pad to one
+        # lane tile. 'auto' packs on TPU (measured 1.21x whole-step win).
+        S = dense.shape[1]
+        pack = (_ATTN_BACKEND in ("packed", "packed_smalls")
+                or (_ATTN_BACKEND == "auto"
+                    and jax.default_backend() == "tpu"))
+        gb = max(1, 128 // S) if (pack and self.sp_axis is None) else 1
+        block, layer_valid = 0, valid
+        if gb > 1:
+            pad_b = (-B) % gb
+            if pad_b:
+                dense = jnp.pad(dense, ((0, pad_b), (0, 0), (0, 0)))
+                layer_valid = jnp.pad(valid, ((0, pad_b), (0, 0)))
+            dense = dense.reshape(-1, gb * S, self.d_model)
+            layer_valid = layer_valid.reshape(-1, gb * S)
+            block = S
+
         for i in range(self.num_layers):
             dense = TransformerEncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
                 self.activation, name=f"layer_{i}",
-            )(dense, valid, training)
+            )(dense, layer_valid, training, block=block)
             dense = self._sp(dense)
         dense = nn.LayerNorm(name="final_norm")(dense)
+        if gb > 1:
+            dense = dense.reshape(-1, S, self.d_model)[:B]
         return dense, valid
 
 

@@ -93,10 +93,13 @@ def build_parser():
                             "XLA one-hot path; flat layout: ops/pallas/"
                             "spmm, slower — both opt-in)")
     group.add_argument("--attn_backend", type=str, default="auto",
-                       choices=["auto", "flash", "smalls", "chunked", "dense"],
-                       help="long-sequence attention path: auto = flash "
-                            "Pallas kernel on TPU / chunked scan elsewhere "
-                            "for S >= 512, dense below")
+                       choices=["auto", "flash", "smalls", "chunked", "dense",
+                                "packed", "packed_smalls"],
+                       help="attention path: auto = graph-packed block-"
+                            "diagonal rows for short S on TPU (measured "
+                            "1.21x whole-step), flash Pallas kernel on TPU "
+                            "for S >= 512, chunked scan off-TPU, dense "
+                            "otherwise; or force one backend explicitly")
     group.add_argument("--dense_layout", type=str, default="auto",
                        choices=["auto", "on", "off"],
                        help="strided per-graph node layout: aggregation runs "

@@ -93,7 +93,14 @@ def parse_events(line_buf):
             yield mid, dur, max(occ, 1)
 
 
-def summarize(path, top_n=30):
+def line_name(line_buf):
+    for fn, wt, v in fields(line_buf):
+        if fn == 2 and wt == 2:
+            return v.decode("utf-8", "replace")
+    return ""
+
+
+def summarize(path, top_n=30, per_line=False):
     if os.path.isdir(path):
         cands = glob.glob(os.path.join(path, "**", "*.xplane.pb"),
                           recursive=True)
@@ -106,6 +113,25 @@ def summarize(path, top_n=30):
         if fn != 1 or wt != 2:
             continue
         pname, meta, lines = parse_plane(v)
+        if per_line:
+            # async copies/DMAs live on their own queue lines and overlap
+            # compute — per-line totals separate the critical compute queue
+            # from overlapped background traffic
+            for lb in lines:
+                tot = defaultdict(int)
+                cnt = defaultdict(int)
+                for mid, dur, occ in parse_events(lb):
+                    tot[mid] += dur
+                    cnt[mid] += occ
+                if not tot:
+                    continue
+                total_ms = sum(tot.values()) / 1e9
+                print(f"\n-- plane {pname} / line '{line_name(lb)}' "
+                      f"(total {total_ms:.2f} ms)")
+                for mid, dur in sorted(tot.items(), key=lambda kv: -kv[1])[:top_n]:
+                    print(f"  {dur/1e9:10.3f} ms  x{cnt[mid]:<6} "
+                          f"{meta.get(mid, f'metadata_{mid}')[:110]}")
+            continue
         tot = defaultdict(int)
         cnt = defaultdict(int)
         for lb in lines:
@@ -124,4 +150,6 @@ def summarize(path, top_n=30):
 
 
 if __name__ == "__main__":
-    summarize(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 30)
+    args = [a for a in sys.argv[1:] if a != "--lines"]
+    summarize(args[0], int(args[1]) if len(args) > 1 else 30,
+              per_line="--lines" in sys.argv)
