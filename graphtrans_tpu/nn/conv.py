@@ -24,8 +24,19 @@ from .norm import MaskedBatchNorm
 def _aggregate(batch, h, edge_encoder, message="relu_add", edge_weight=None):
     """Route the gather->message->scatter through the strided one-hot-matmul
     path when the batch carries the dense layout (scatter-free fwd AND bwd,
-    ops/dense_mp.py), else the flat segment path."""
+    ops/dense_mp.py), else the flat segment path. On TPU, encoders that
+    expose their tables (BondEncoder) take the fused-lookup Pallas kernel
+    (ops/pallas/gin_agg.py): the edge-embedding tensor never touches HBM."""
     if batch.edge_src_dense is not None:
+        if (message in ("relu_add", "add")
+                and getattr(edge_encoder, "supports_concat_tables", False)
+                and h.shape[-1] % 128 == 0
+                and dense_mp.fused_tables_enabled()):
+            tables, dims = edge_encoder(batch.edge_attr_dense,
+                                        concat_tables=True)
+            return dense_mp.gather_message_scatter_dense_tables(
+                h, batch, tables, dims, message=message,
+                edge_weight=edge_weight)
         edge_emb = edge_encoder(batch.edge_attr_dense)
         return dense_mp.gather_message_scatter_dense(
             h, batch, edge_emb, message=message, edge_weight=edge_weight)

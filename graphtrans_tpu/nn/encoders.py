@@ -70,13 +70,25 @@ class AtomEncoder(nn.Module):
 class BondEncoder(nn.Module):
     emb_dim: int
     feature_dims: Sequence[int] = BOND_FEATURE_DIMS
+    # the fused dense-aggregation kernel (ops/pallas/gin_agg.py) can consume
+    # this encoder's tables directly via __call__(e, concat_tables=True)
+    supports_concat_tables = True
 
     @nn.compact
-    def __call__(self, e):  # e: [E, F] int
+    def __call__(self, e, concat_tables: bool = False):
+        """e: [..., F] int. Default: summed per-feature embeddings [..., d].
+        concat_tables=True: return (concatenated tables [sum(dims[:F]), d],
+        dims tuple) for in-kernel lookup — same params, same creation order,
+        so the variable tree is identical either way."""
+        dims = tuple(self.feature_dims[: e.shape[-1]])
+        tbls = [self.param(f"emb_{i}", xavier_uniform(), (n, self.emb_dim))
+                for i, n in enumerate(dims)]
+        if concat_tables:
+            return jnp.concatenate(tbls, axis=0), dims
         out = 0
-        for i, n in enumerate(self.feature_dims[: e.shape[-1]]):
-            tbl = self.param(f"emb_{i}", xavier_uniform(), (n, self.emb_dim))
-            out = out + embed_lookup(tbl, jnp.clip(e[..., i].astype(jnp.int32), 0, n - 1))
+        for i, n in enumerate(dims):
+            out = out + embed_lookup(
+                tbls[i], jnp.clip(e[..., i].astype(jnp.int32), 0, n - 1))
         return out
 
 

@@ -91,6 +91,8 @@ def chunked_masked_attention(q, k, v, key_valid, key_chunk: int,
 
 
 _ATTN_BACKEND = "auto"
+# test hook: route 'packed_fused' through interpret-mode kernels off-TPU
+_PFUSED_INTERPRET = False
 
 
 def set_attn_backend(name: str):
@@ -112,10 +114,15 @@ def set_attn_backend(name: str):
     'packed_smalls' routes the packed rows through the fused Pallas
     block-diagonal kernel instead (ops/pallas/attention_smallS.py, block>0)
     — measured SLOWER (101.5 ms: hd=32 pads to 128 VMEM lanes, 4x the DMA
-    bytes) and kept opt-in for experimentation."""
+    bytes) and kept opt-in for experimentation.
+    'packed_fused' routes the packed rows through the heads-in-lanes fused
+    Pallas kernel (ops/pallas/attention_packed.py): per-head structure is a
+    block-diagonal K/V construct so every matmul contracts over the full
+    d=128 lanes — the fix for packed_smalls' lane-padding loss. Requires
+    d_model % 128 == 0 (other widths fall back to the XLA dense path)."""
     global _ATTN_BACKEND
     assert name in ("auto", "flash", "smalls", "chunked", "dense",
-                    "packed", "packed_smalls"), name
+                    "packed", "packed_smalls", "packed_fused"), name
     _ATTN_BACKEND = name
 
 
@@ -162,14 +169,22 @@ class MultiheadSelfAttention(nn.Module):
         def heads(t):  # [B,S,d] -> [B,H,S,hd]
             return t.reshape(B, S, self.nhead, hd).transpose(0, 2, 1, 3)
 
-        q, k, v = heads(q), heads(k), heads(v)
         backend = _ATTN_BACKEND
         if block > 0:
-            # packed rows: XLA dense block-mask attention (the measured
-            # winner); 'packed_smalls' = opt-in fused Pallas kernel arm
-            backend = ("smalls" if (jax.default_backend() == "tpu"
-                                    and backend == "packed_smalls")
-                       else "dense")
+            # packed rows: the fused heads-in-lanes Pallas kernel when the
+            # shape fits (d % 128 == 0), else XLA dense block-mask attention;
+            # 'packed_smalls' = opt-in per-head Pallas kernel arm (slower)
+            on_tpu = jax.default_backend() == "tpu"
+            if on_tpu and backend == "packed_smalls":
+                backend = "smalls"
+            elif ((on_tpu or _PFUSED_INTERPRET) and d % 128 == 0
+                  and S <= 128 and backend in ("packed_fused", "auto")):
+                # 'auto' takes the fused kernel: measured 67.5 ms flagship
+                # step vs 78.1 ms XLA dense-packed (v5e, bs=4096, bf16);
+                # 'packed' stays the XLA arm for A/B comparisons
+                backend = "pfused"
+            else:
+                backend = "dense"
         elif backend == "auto":
             # short sequences stay on the dense XLA path: the fused small-S
             # kernel (attention_smallS) measured SLOWER on v5e (hd=32 lane
@@ -182,6 +197,22 @@ class MultiheadSelfAttention(nn.Module):
                 backend = "dense"
         if attn_bias is not None:
             backend = "dense"
+        if backend == "pfused":
+            from ..ops.pallas.attention_packed import attention_packed
+
+            rate = self.dropout if training else 0.0
+            seed = (
+                jax.random.randint(self.make_rng("dropout"), (), 0, 2**31 - 1)
+                if rate > 0.0 else jnp.zeros((), jnp.int32)
+            )
+            # q,k,v stay [B,S,d] heads-in-lanes — exactly the combined-QKV
+            # projection layout the kernel expects; no head transpose at all
+            y = attention_packed(q, k, v, key_valid, seed, self.nhead,
+                                 rate, training, _PFUSED_INTERPRET, block)
+            out_w = self.param("out_proj", kaiming_uniform(), (d, d))
+            out_b = self.param("out_proj_bias", nn.initializers.zeros, (d,))
+            return y.astype(x.dtype) @ out_w + out_b
+        q, k, v = heads(q), heads(k), heads(v)
         if backend == "smalls":
             from ..ops.pallas.attention_smallS import attention_smallS
 
@@ -230,6 +261,10 @@ class MultiheadSelfAttention(nn.Module):
             mask = (key_valid[:, None, None, :] if block <= 0
                     else _block_mask(key_valid, block, S)[:, None])
             att = masked_softmax(scores, mask)
+            # store the probabilities in the compute dtype (bf16 in the
+            # production bf16 path — halves the [B,H,S,S] HBM traffic of the
+            # dropout/AV consumers; exact no-op in f32 parity mode)
+            att = att.astype(x.dtype)
             att = ByteDropout(self.dropout)(att, deterministic=not training)
             y = jnp.einsum("bhqk,bhkd->bhqd", att, v.astype(att.dtype))
         y = y.transpose(0, 2, 1, 3).reshape(B, S, d).astype(x.dtype)
@@ -307,7 +342,7 @@ class TransformerNodeEncoder(nn.Module):
         # are free (row-major); GB*S stays <= 128 so score tiles pad to one
         # lane tile. 'auto' packs on TPU (measured 1.21x whole-step win).
         S = dense.shape[1]
-        pack = (_ATTN_BACKEND in ("packed", "packed_smalls")
+        pack = (_ATTN_BACKEND in ("packed", "packed_smalls", "packed_fused")
                 or (_ATTN_BACKEND == "auto"
                     and jax.default_backend() == "tpu"))
         gb = max(1, 128 // S) if (pack and self.sp_axis is None) else 1

@@ -35,6 +35,66 @@ import jax.numpy as jnp
 
 PRECISION = jax.lax.Precision.HIGHEST
 
+# Fused-tables aggregation (ops/pallas/gin_agg.py): the Pallas kernel that
+# folds the bond-encoder lookup into the aggregation so the [G, Em, d]
+# edge-embedding tensor never touches HBM. 'auto' = on-TPU; 'on'/'off'
+# force it (A/B benches); tests route through interpret mode.
+# Default 'off' until the on-chip A/B lands (exps/bench_gin_agg.py).
+_FUSED_TABLES = "off"
+_FUSED_TABLES_INTERPRET = False
+
+
+def set_fused_tables(mode: str):
+    global _FUSED_TABLES
+    assert mode in ("auto", "on", "off"), mode
+    _FUSED_TABLES = mode
+
+
+def fused_tables_enabled():
+    if _FUSED_TABLES == "off":
+        return False
+    if _FUSED_TABLES == "on":
+        return True
+    return jax.default_backend() == "tpu" or _FUSED_TABLES_INTERPRET
+
+
+def gather_message_scatter_dense_tables(x, batch, tables, dims,
+                                        message: str = "relu_add",
+                                        edge_weight=None):
+    """Fused-lookup aggregation over the strided layout: edge embeddings are
+    computed IN-KERNEL from batch.edge_attr_dense and the concatenated
+    encoder tables (see ops/pallas/gin_agg.py) — the [G, Em, d] embedding
+    tensor and its cotangent never exist in HBM. Semantics identical to
+    encoder(edge_attr) + gather_message_scatter_dense."""
+    from .pallas import gin_agg
+
+    Sm = batch.node_stride
+    G = batch.num_graph_slots
+    d = x.shape[-1]
+    xd = x.reshape(G, Sm, d)
+    attr = batch.edge_attr_dense.astype(jnp.int32)         # [G, Em, F]
+    off = 0
+    cols = []
+    for f, n in enumerate(dims):
+        cols.append(jnp.clip(attr[..., f], 0, n - 1) + off)
+        off += n
+    attr_idx = jnp.stack(cols, axis=1)                     # [G, F, Em]
+    tbl = jnp.concatenate(
+        [tables, jnp.zeros((gin_agg.VP - tables.shape[0], d), tables.dtype)])
+
+    pad = (-G) % gin_agg.GT
+
+    def padg(a):
+        if pad == 0 or a is None:
+            return a
+        return jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+
+    out = gin_agg.fused_gin_agg(
+        padg(xd), padg(batch.edge_src_dense), padg(batch.edge_dst_dense),
+        padg(batch.edge_mask_dense), padg(attr_idx), tbl, padg(edge_weight),
+        message == "relu_add", _FUSED_TABLES_INTERPRET)
+    return out[:G].reshape(G * Sm, d)
+
 
 def _one_hot(idx, mask, size, dtype):
     iota = jnp.arange(size, dtype=jnp.int32)

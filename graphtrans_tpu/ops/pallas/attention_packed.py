@@ -1,0 +1,326 @@
+"""Fused block-diagonal attention over graph-PACKED rows, heads-in-lanes.
+
+The flagship transformer stage runs attention at S ~ 33 over thousands of
+graphs. The 'packed' layout (nn/transformer.py) reshapes GB graphs into one
+row of S' = GB*S <= 128 tokens with block-diagonal masking, which already
+beats per-graph attention — but XLA still materializes the [B, H, S', S']
+f32 scores, softmax, u8 dropout masks (plus their layout copies), and
+probabilities in HBM: profiled at ~21 ms of the 80.9 ms flagship step
+(v5e, bs=4096), against ~0.2 ms of minimal matmul FLOPs.
+
+This kernel fuses score -> masked softmax -> dropout -> AV per VMEM-resident
+tile. The earlier per-head formulation (attention_smallS.py, operands
+[BH, S, hd=32]) LOST to XLA because Mosaic pads the 32-lane head dim to 128,
+quadrupling VMEM traffic. Here operands keep the full d = nhead*hd = 128
+lane dim (heads stay in lanes, exactly as the combined QKV projection emits
+them) and per-head structure is expressed with a BLOCK-DIAGONAL key/value
+construct instead of slicing:
+
+    k2[r, c] = k[r % Sp, c] * (r // Sp == c // hd)     # [H*Sp, d], Sp=128
+    scores   = q @ k2^T          # [S', H*Sp]: col h*Sp+j = <q_h[i], k_h[j]>
+    softmax per 128-lane block   (slices at lane-tile boundaries — free)
+    out      = p @ v2            # v2 built with the SAME tiled mask
+
+so every matmul contracts over 128 or 512 lanes at MXU-native shapes and
+nothing but q, k, v and the output crosses HBM. The dropout mask is
+regenerated bit-identically in the backward from per-(tile, head) TPU PRNG
+seeds. Semantics match nn/transformer.masked_softmax + torch attention
+dropout (probabilities normalized by the UNDROPPED denominator; fully-masked
+rows produce zeros) — the same contract the parity suite pins on the XLA
+dense path (reference: /root/reference/modules/transformer_encoder.py:9-61
+via torch nn.MultiheadAttention).
+
+Requires d % 128 == 0 and S' <= 128 (the packed-row regime); the caller
+falls back to the XLA dense path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+BT = 8     # batch rows per grid step
+SP = 128   # per-head key block (keys pad S' -> SP so lane slices stay
+           # tile-aligned; padded keys are masked out of the softmax)
+_NEG = -1e30
+
+
+def _prec(dtype):
+    """f32: HIGHEST (exact — the parity/exactness contract). bf16: DEFAULT —
+    single-pass MXU with f32 accumulation, matching the XLA dense path's
+    einsum(preferred_element_type=f32)."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def _keep_mask(shape, rate, seed, interpret=False):
+    thresh = jnp.uint32(min(max(1.0 - rate, 0.0), 1.0) * 0xFFFFFFFF)
+    if interpret:
+        # pltpu PRNG has no CPU lowering; a deterministic integer hash keeps
+        # the dropout structure (per-seed determinism, identical fwd/bwd
+        # mask regeneration) testable in interpret mode
+        pos = jnp.zeros(shape, jnp.uint32)
+        stride = 1
+        for ax in range(len(shape) - 1, -1, -1):
+            pos = pos + jax.lax.broadcasted_iota(
+                jnp.uint32, shape, ax) * jnp.uint32(stride)
+            stride *= shape[ax]
+        x = pos * jnp.uint32(2654435761) + jnp.asarray(
+            seed, jnp.int32).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * jnp.uint32(0x846CA68B)
+        x = x ^ (x >> 16)
+        return (x < thresh).astype(jnp.float32)
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(seed)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return (bits < thresh).astype(jnp.float32)
+
+
+def _tiled_kv(t, nhead, hd, S):
+    """[BT, S, d] -> block-diagonal [BT, nhead*SP, d]: row r of block h holds
+    k[r % SP] with only head h's hd lanes kept. All-arithmetic masking —
+    Mosaic cannot manipulate 1-bit (i1) vectors, so compares feed straight
+    into astype multiplies (same workaround as ops/pallas/dense_agg.py)."""
+    bt = t.shape[0]
+    d = t.shape[2]
+    pad = jnp.zeros((bt, SP - S, d), t.dtype)
+    tp = jnp.concatenate([t, pad], axis=1)
+    tiled = jnp.concatenate([tp] * nhead, axis=1)          # [BT, H*SP, d]
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, nhead * SP, d), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nhead * SP, d), 2)
+    return tiled * (row // SP == lane // hd).astype(t.dtype)
+
+
+def _head_masks(valid, S, block):
+    """[BT, S] key validity -> f32 0/1 softmax mask [BT, S, SP] shared by all
+    heads (key j attendable by query i iff j < S, valid, same graph block).
+    Arithmetic combination only — no i1 vector ops (Mosaic limitation)."""
+    bt = valid.shape[0]
+    v = valid.astype(jnp.float32)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (1, S, SP), 2)
+    m = (kj < S).astype(jnp.float32)
+    if block > 0:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (1, S, SP), 1)
+        m = m * (qi // block == kj // block).astype(jnp.float32)
+    vpad = jnp.concatenate([v, jnp.zeros((bt, SP - S), jnp.float32)], axis=1)
+    return m * vpad[:, None, :]
+
+
+def _probs_all(q, k2, mask, nhead, hd, rate, training, seed,
+               interpret=False):
+    """Score + per-head masked softmax (+ dropout). Returns
+    (p_drop [BT,S,H*SP] in q.dtype, p_undropped f32) — the latter is what
+    the softmax backward normalizes with (torch dropout semantics)."""
+    scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+    s_full = jax.lax.dot_general(
+        q, k2, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=_prec(q.dtype)) * scale
+    ps, pds = [], []
+    for h in range(nhead):
+        sh = jax.lax.slice_in_dim(s_full, h * SP, (h + 1) * SP, axis=2)
+        # mask is arithmetic 0/1 f32 (no i1 vectors in Mosaic)
+        sh = sh * mask - (1.0 - mask) * (-_NEG)
+        m = jnp.max(sh, axis=-1, keepdims=True)
+        e = jnp.exp(sh - m) * mask
+        denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-16)
+        p = e / denom
+        ps.append(p)
+        if training and rate > 0.0:
+            keep = _keep_mask(p.shape, rate, seed + h, interpret)
+            pds.append(p * keep * (1.0 / (1.0 - rate)))
+        else:
+            pds.append(p)
+    p_all = jnp.concatenate(ps, axis=2)
+    pd_all = p_all if pds is ps else jnp.concatenate(pds, axis=2)
+    return pd_all.astype(q.dtype), p_all
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, *,
+                nhead, rate, training, block, interpret=False):
+    from jax.experimental import pallas as pl
+
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    _, S, d = q.shape
+    hd = d // nhead
+    seed = seed_ref[0] + pl.program_id(0) * nhead
+    k2 = _tiled_kv(k, nhead, hd, S)
+    v2 = _tiled_kv(v, nhead, hd, S)
+    mask = _head_masks(valid_ref[...], S, block)
+    pd, _ = _probs_all(q, k2, mask, nhead, hd, rate, training, seed,
+                       interpret)
+    o_ref[...] = jax.lax.dot_general(
+        pd, v2, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=_prec(q.dtype)).astype(o_ref.dtype)
+
+
+def _fold_blocks(t2, nhead, hd, S, out_dtype):
+    """Adjoint of _tiled_kv: [BT, H*SP, d] f32 -> [BT, S, d]: sum the nhead
+    sublane blocks with each head's lane mask applied."""
+    d = t2.shape[2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, SP, d), 2)
+    acc = None
+    for h in range(nhead):
+        blk = jax.lax.slice_in_dim(t2, h * SP, (h + 1) * SP, axis=1)
+        blk = blk * (lane // hd == h).astype(blk.dtype)
+        acc = blk if acc is None else acc + blk
+    return jax.lax.slice_in_dim(acc, 0, S, axis=1).astype(out_dtype)
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, *, nhead, rate, training, block,
+                interpret=False):
+    from jax.experimental import pallas as pl
+
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    g = g_ref[...]
+    _, S, d = q.shape
+    hd = d // nhead
+    prec = _prec(q.dtype)
+    seed = seed_ref[0] + pl.program_id(0) * nhead
+    k2 = _tiled_kv(k, nhead, hd, S)
+    v2 = _tiled_kv(v, nhead, hd, S)
+    mask = _head_masks(valid_ref[...], S, block)
+    pd, p = _probs_all(q, k2, mask, nhead, hd, rate, training, seed,
+                       interpret)
+
+    # dv2 = pd^T g  (contract the query dim)
+    dv2 = jax.lax.dot_general(
+        pd, g, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)  # [BT,H*SP,d]
+    dv_ref[...] = _fold_blocks(dv2, nhead, hd, S, dv_ref.dtype)
+
+    dp = jax.lax.dot_general(
+        g, v2, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)  # [BT,S,H*SP]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+    ds = []
+    for h in range(nhead):
+        ph = jax.lax.slice_in_dim(p, h * SP, (h + 1) * SP, axis=2)
+        dph = jax.lax.slice_in_dim(dp, h * SP, (h + 1) * SP, axis=2)
+        if training and rate > 0.0:
+            keep = _keep_mask(ph.shape, rate, seed + h, interpret)
+            dph = dph * keep * (1.0 / (1.0 - rate))
+        # normalization denominator came from the UNDROPPED p:
+        # ds = p * (dp - sum(p * dp)), then the score scale folds in here
+        delta = jnp.sum(ph * dph, axis=-1, keepdims=True)
+        ds.append((ph * (dph - delta)) * scale)
+    ds_all = jnp.concatenate(ds, axis=2).astype(q.dtype)   # [BT,S,H*SP]
+
+    # dq = ds @ k2 (head h's contribution lands only in its lanes via the
+    # mask baked into k2 — no extra masking needed)
+    dq_ref[...] = jax.lax.dot_general(
+        ds_all, k2, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec).astype(dq_ref.dtype)
+    dk2 = jax.lax.dot_general(
+        ds_all, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)  # [BT,H*SP,d]
+    dk_ref[...] = _fold_blocks(dk2, nhead, hd, S, dk_ref.dtype)
+
+
+def _pad_b(x, b_pad):
+    pad = b_pad - x.shape[0]
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+
+def _specs(S, d, n_in):
+    from jax.experimental import pallas as pl
+
+    def blk3(i, *_):
+        return (i, 0, 0)
+
+    def blk2(i, *_):
+        return (i, 0)
+
+    qkv = pl.BlockSpec((BT, S, d), blk3)
+    val = pl.BlockSpec((BT, S), blk2)
+    return [qkv, qkv, qkv, val] + [qkv] * (n_in - 4)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def attention_packed(q, k, v, key_valid, seed, nhead: int, rate: float = 0.0,
+                     training: bool = False, interpret: bool = False,
+                     block: int = 0):
+    """q,k,v: [B, S, d] with heads in lanes (lane c belongs to head
+    c // (d//nhead) — the combined-QKV-projection layout); key_valid: [B,S];
+    seed: int32 scalar. block > 0 restricts attention to `block`-sized
+    diagonal token groups (graph-packed rows). Returns [B, S, d] in the
+    same heads-in-lanes layout. Requires S <= 128 and d % 128 == 0."""
+    return _call_fwd(q, k, v, key_valid, seed, nhead, rate, training,
+                     interpret, block)
+
+
+def _call_fwd(q, k, v, key_valid, seed, nhead, rate, training, interpret,
+              block):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, S, d = q.shape
+    assert S <= SP and d % 128 == 0 and d % nhead == 0, (S, d, nhead)
+    b_pad = -(-B // BT) * BT
+    qp, kp, vp = (_pad_b(t, b_pad) for t in (q, k, v))
+    validp = _pad_b(key_valid, b_pad)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    o = pl.pallas_call(
+        functools.partial(_fwd_kernel, nhead=nhead, rate=rate,
+                          training=training, block=block,
+                          interpret=interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b_pad // BT,),
+            in_specs=_specs(S, d, 4),
+            out_specs=_specs(S, d, 1)[0],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_pad, S, d), q.dtype),
+        interpret=interpret,
+    )(seed, qp, kp, vp, validp)
+    return o[:B]
+
+
+def _fwd_rule(q, k, v, key_valid, seed, nhead, rate, training, interpret,
+              block):
+    o = _call_fwd(q, k, v, key_valid, seed, nhead, rate, training, interpret,
+                  block)
+    return o, (q, k, v, key_valid, seed)
+
+
+def _bwd_rule(nhead, rate, training, interpret, block, res, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v, key_valid, seed = res
+    B, S, d = q.shape
+    b_pad = -(-B // BT) * BT
+    qp, kp, vp, gp = (_pad_b(t, b_pad) for t in (q, k, v, g))
+    validp = _pad_b(key_valid, b_pad)
+    seeds = jnp.asarray(seed, jnp.int32).reshape(1)
+    spec3 = _specs(S, d, 1)[0]
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, nhead=nhead, rate=rate,
+                          training=training, block=block,
+                          interpret=interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b_pad // BT,),
+            in_specs=_specs(S, d, 5),
+            out_specs=[spec3, spec3, spec3],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b_pad, S, d), q.dtype)] * 3,
+        interpret=interpret,
+    )(seeds, qp, kp, vp, validp, gp)
+    return dq[:B], dk[:B], dv[:B], None, None
+
+
+attention_packed.defvjp(_fwd_rule, _bwd_rule)

@@ -1,0 +1,220 @@
+"""Fused dense aggregation with IN-KERNEL edge-embedding lookup.
+
+The strided one-hot-matmul aggregation (ops/dense_mp.py) is scatter-free,
+but per GIN/GCN layer it still moves the [G, Em, d] edge-embedding tensor
+(the BondEncoder output, ~200 MB at flagship shapes) through HBM in the
+forward AND its cotangent in the backward — profiled at ~14 ms of the
+80.9 ms flagship step while the bond vocabulary is 13 rows. This kernel
+consumes the RAW integer edge features instead: a tile of graphs stays
+resident in VMEM and
+
+  out[g] = one_hot(dst_g)^T @ ( w_g * relu( one_hot(src_g) @ x_g
+                                            + multi_hot(attr_g) @ T ) )
+
+where T is the CONCATENATED per-feature embedding table ([sum(dims), d],
+padded to 128 rows — it rides in VMEM across all grid steps) and
+multi_hot(attr)[e, v] = sum_f 1[v == offset_f + attr_f(e)], so the
+embedding lookup is one tiny matmul and its backward is an accumulated
+matmul into the table — the [G, Em, d] tensor never exists. The earlier
+fused kernel (dense_agg.py) lost to XLA at bf16 because it forced
+f32-internal HIGHEST matmuls; here matmuls run in the NATIVE dtype
+(DEFAULT precision for bf16 = single-pass MXU, HIGHEST for f32 = the
+exactness contract) — one-hot/multi-hot operands are exact in any dtype.
+
+Replaces the torch-scatter + nn.Embedding role of the reference's conv
+message path (/root/reference/modules/conv.py:10-36 with
+ogb mol_encoder.BondEncoder) for the dense layout; parity-tested against
+ops/dense_mp.py + nn.encoders.BondEncoder in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+GT = 16   # graphs per grid step
+VP = 128  # padded concatenated-vocab rows (lane alignment of the multi-hot)
+
+
+def _prec(dtype):
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def _one_hot(idx, mask, size, dtype):
+    iota = jax.lax.broadcasted_iota(jnp.int32, idx.shape + (size,),
+                                    len(idx.shape))
+    oh = (idx[..., None] == iota).astype(dtype)
+    return oh * mask.astype(dtype)[..., None]
+
+
+def _multi_hot(attr, vp, dtype):
+    """attr [GT, F, Em] (pre-clipped, offset-folded) -> [GT, Em, vp] with
+    one 1 per feature column."""
+    nf = attr.shape[1]
+    em = attr.shape[2]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (attr.shape[0], em, vp), 2)
+    m = None
+    for f in range(nf):
+        hit = (attr[:, f, :, None] == iota).astype(dtype)
+        m = hit if m is None else m + hit
+    return m
+
+
+def _messages(x, src, emask, attr, tbl, sm):
+    dt = x.dtype
+    prec = _prec(dt)
+    oh_src = _one_hot(src, emask, sm, dt)
+    mh = _multi_hot(attr, tbl.shape[0], dt)
+    emb = jax.lax.dot_general(
+        mh, tbl, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)     # [GT,Em,d]
+    xs = jax.lax.dot_general(
+        oh_src, x, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)     # [GT,Em,d]
+    return oh_src, mh, xs + emb
+
+
+def _fwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
+                out_ref, *, relu: bool, has_w: bool):
+    x = x_ref[...]
+    dt = x.dtype
+    emask = emask_ref[...]
+    sm = x.shape[1]
+    _, _, pre = _messages(x, src_ref[...], emask, attr_ref[...], tbl_ref[...],
+                          sm)
+    m = jnp.maximum(pre, 0) if relu else pre
+    if has_w:
+        m = m * w_ref[...][..., None].astype(jnp.float32)
+    m = m * emask.astype(jnp.float32)[..., None]
+    oh_dst = _one_hot(dst_ref[...], emask, sm, dt)
+    out_ref[...] = jax.lax.dot_general(
+        oh_dst, m.astype(dt), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=_prec(dt)).astype(out_ref.dtype)
+
+
+def _bwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
+                g_ref, dx_ref, dtbl_ref, dw_ref, *, relu: bool, has_w: bool):
+    from jax.experimental import pallas as pl
+
+    x = x_ref[...]
+    dt = x.dtype
+    emask = emask_ref[...]
+    sm = x.shape[1]
+    prec = _prec(dt)
+    oh_src, mh, pre = _messages(x, src_ref[...], emask, attr_ref[...],
+                                tbl_ref[...], sm)
+    oh_dst = _one_hot(dst_ref[...], emask, sm, dt)
+    # dmsg = one_hot(dst) @ gout (invalid-edge rows are zero via the masked
+    # one-hot, so dw/dtbl are implicitly edge-masked)
+    dmsg = jax.lax.dot_general(
+        oh_dst, g_ref[...], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)     # [GT,Em,d]
+    if has_w:
+        m0 = jnp.maximum(pre, 0) if relu else pre
+        dw_ref[...] = jnp.sum(dmsg * m0, axis=-1).astype(dw_ref.dtype)
+        dmsg = dmsg * w_ref[...][..., None].astype(jnp.float32)
+    if relu:
+        dmsg = jnp.where(pre > 0, dmsg, 0.0)
+    dmsg = (dmsg * emask.astype(jnp.float32)[..., None]).astype(dt)
+    dx_ref[...] = jax.lax.dot_general(
+        oh_src, dmsg, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec).astype(dx_ref.dtype)
+    # table grad accumulates across grid steps in the revisited f32 block
+    dtp = jax.lax.dot_general(
+        mh, dmsg, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)     # [GT,Vp,d]
+    dtp = jnp.sum(dtp, axis=0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dtbl_ref[...] = jnp.zeros_like(dtbl_ref)
+
+    dtbl_ref[...] += dtp
+
+
+def _specs(G, Sm, Em, F, Vp, d, n_extra):
+    from jax.experimental import pallas as pl
+
+    node = pl.BlockSpec((GT, Sm, d), lambda i: (i, 0, 0))
+    edge = pl.BlockSpec((GT, Em), lambda i: (i, 0))
+    attr = pl.BlockSpec((GT, F, Em), lambda i: (i, 0, 0))
+    tblb = pl.BlockSpec((Vp, d), lambda i: (0, 0))
+    return [node, edge, edge, edge, attr, tblb, edge] + [node] * n_extra
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_gin_agg(xd, src, dst, emask, attr, tbl, w, relu: bool = True,
+                  interpret: bool = False):
+    """xd [G,Sm,d]; src/dst/emask [G,Em]; attr [G,F,Em] int32 pre-clipped
+    with per-feature vocab offsets folded in; tbl [VP,d] concatenated
+    (zero-padded) embedding tables; w [G,Em] or None -> [G,Sm,d].
+    G must be a GT multiple — callers pad the graph axis."""
+    if xd.shape[0] % GT != 0:
+        raise ValueError(f"G={xd.shape[0]} must be a multiple of GT={GT}")
+    if tbl.shape[0] != VP:
+        raise ValueError(f"tbl must be padded to {VP} rows, got {tbl.shape}")
+    return _call_fwd(xd, src, dst, emask, attr, tbl, w, relu, interpret)
+
+
+def _call_fwd(xd, src, dst, emask, attr, tbl, w, relu, interpret):
+    from jax.experimental import pallas as pl
+
+    G, Sm, d = xd.shape
+    Em = src.shape[1]
+    F = attr.shape[1]
+    has_w = w is not None
+    wa = w if has_w else jnp.zeros((G, Em), xd.dtype)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, relu=relu, has_w=has_w),
+        grid=(G // GT,),
+        in_specs=_specs(G, Sm, Em, F, VP, d, 0),
+        out_specs=pl.BlockSpec((GT, Sm, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, Sm, d), xd.dtype),
+        interpret=interpret,
+    )(xd, src, dst, emask, attr, tbl, wa)
+
+
+def _call_bwd(xd, src, dst, emask, attr, tbl, w, gout, relu, interpret):
+    from jax.experimental import pallas as pl
+
+    G, Sm, d = xd.shape
+    Em = src.shape[1]
+    F = attr.shape[1]
+    has_w = w is not None
+    wa = w if has_w else jnp.zeros((G, Em), xd.dtype)
+    dx, dtbl, dw = pl.pallas_call(
+        functools.partial(_bwd_kernel, relu=relu, has_w=has_w),
+        grid=(G // GT,),
+        in_specs=_specs(G, Sm, Em, F, VP, d, 1),
+        out_specs=[
+            pl.BlockSpec((GT, Sm, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((VP, d), lambda i: (0, 0)),
+            pl.BlockSpec((GT, Em), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, Sm, d), xd.dtype),
+            jax.ShapeDtypeStruct((VP, d), jnp.float32),
+            jax.ShapeDtypeStruct((G, Em), wa.dtype),
+        ],
+        interpret=interpret,
+    )(xd, src, dst, emask, attr, tbl, wa, gout)
+    return dx, dtbl.astype(tbl.dtype), (dw if has_w else None)
+
+
+def _fwd_rule(xd, src, dst, emask, attr, tbl, w, relu, interpret):
+    out = _call_fwd(xd, src, dst, emask, attr, tbl, w, relu, interpret)
+    return out, (xd, src, dst, emask, attr, tbl, w)
+
+
+def _bwd_rule(relu, interpret, res, gout):
+    xd, src, dst, emask, attr, tbl, w = res
+    dx, dtbl, dw = _call_bwd(xd, src, dst, emask, attr, tbl, w, gout, relu,
+                             interpret)
+    return dx, None, None, None, None, dtbl, dw
+
+
+fused_gin_agg.defvjp(_fwd_rule, _bwd_rule)

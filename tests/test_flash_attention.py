@@ -178,3 +178,132 @@ def test_packed_encoder_matches_dense(rng, monkeypatch):
                                   np.asarray(valid_dense))
     np.testing.assert_allclose(np.asarray(out_packed), np.asarray(out_dense),
                                rtol=2e-5, atol=2e-5)
+
+
+def _ref_heads_in_lanes(q, k, v, valid, nhead, block):
+    """Dense reference for the heads-in-lanes fused kernel: split heads,
+    dense block-diagonal masked attention, re-concat lanes."""
+    B, S, d = q.shape
+    hd = d // nhead
+
+    def split(t):
+        return t.reshape(B, S, nhead, hd).transpose(0, 2, 1, 3)
+
+    qs, ks, vs = split(q), split(k), split(v)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qs, ks) / np.sqrt(hd)
+    mask = valid[:, None, None, :]
+    if block:
+        grp = jnp.arange(S) // block
+        mask = mask & (grp[:, None] == grp[None, :])[None, None]
+    a = masked_softmax(s, mask)
+    y = jnp.einsum("bhqk,bhkd->bhqd", a, vs)
+    return y.transpose(0, 2, 1, 3).reshape(B, S, d)
+
+
+def test_packed_fused_matches_dense_fwd_bwd(rng):
+    """Heads-in-lanes fused kernel (attention_packed): exact vs the dense
+    reference at the flagship packed shape (S=3x33, d=128, block-diagonal),
+    with a partially-padded block, a fully-masked graph block, a fully-
+    masked row, and B not a tile multiple."""
+    from graphtrans_tpu.ops.pallas.attention_packed import attention_packed
+
+    B, S, d, H, block = 11, 99, 128, 4, 33
+    q = jnp.asarray(rng.standard_normal((B, S, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, S, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, S, d)).astype(np.float32))
+    valid = np.ones((B, S), bool)
+    valid[0, 20:33] = False        # padded tail inside one graph's block
+    valid[3, 33:66] = False        # a fully-masked graph inside a packed row
+    valid[7, :] = False            # fully-masked packed row
+    vj = jnp.asarray(valid)
+
+    o_ref = _ref_heads_in_lanes(q, k, v, vj, H, block)
+    o = attention_packed(q, k, v, vj, 0, H, 0.0, False, True, block)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=1e-5, atol=1e-5)
+    assert np.abs(np.asarray(o)[3, 33:66]).max() == 0.0
+    assert np.abs(np.asarray(o)[7]).max() == 0.0
+
+    gr = jax.grad(
+        lambda *a: jnp.sum(_ref_heads_in_lanes(*a, vj, H, block) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(
+        lambda *a: jnp.sum(
+            attention_packed(*a, vj, 0, H, 0.0, False, True, block) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_packed_fused_dropout_semantics(rng):
+    """Dropout in the fused packed kernel: deterministic per seed, keep
+    rate ~ 1-rate, torch normalize-then-drop semantics (undropped rows
+    unscaled... scaled by 1/(1-rate)), and the backward regenerates the
+    SAME mask — checked by the exact directional derivative in v (the
+    output is linear in v for a fixed mask)."""
+    from graphtrans_tpu.ops.pallas.attention_packed import attention_packed
+
+    B, S, d, H, block, rate = 8, 64, 128, 4, 32, 0.4
+    q = jnp.asarray(rng.standard_normal((B, S, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, S, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, S, d)).astype(np.float32))
+    vj = jnp.ones((B, S), bool)
+
+    o1 = attention_packed(q, k, v, vj, 123, H, rate, True, True, block)
+    o2 = attention_packed(q, k, v, vj, 123, H, rate, True, True, block)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    o3 = attention_packed(q, k, v, vj, 124, H, rate, True, True, block)
+    assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 0
+
+    # expectation of dropped attention output is the undropped output
+    os = [np.asarray(attention_packed(q, k, v, vj, s, H, rate, True, True,
+                                      block))
+          for s in range(40)]
+    o_ref = np.asarray(_ref_heads_in_lanes(q, k, v, vj, H, block))
+    # 40-sample Monte-Carlo: the mean absolute deviation of the MC mean
+    # measured 0.026 for an unbiased estimator at this shape (max-over-65k-
+    # elements is too heavy-tailed to bound tightly)
+    err = np.abs(np.mean(os, axis=0) - o_ref).mean()
+    assert err < 0.05, err
+
+    # exact directional derivative in v: loss = <W, o> with fixed W
+    W = jnp.asarray(rng.standard_normal((B, S, d)).astype(np.float32))
+    delta = jnp.asarray(rng.standard_normal((B, S, d)).astype(np.float32))
+
+    def loss(vv):
+        return jnp.sum(W * attention_packed(q, k, vv, vj, 123, H, rate,
+                                            True, True, block))
+
+    dv = jax.grad(loss)(v)
+    eps = 1.0
+    lhs = loss(v + eps * delta) - loss(v)       # linear in v: exact
+    rhs = eps * jnp.sum(dv * delta)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-3)
+
+
+def test_packed_fused_encoder_matches_dense(rng, monkeypatch):
+    """TransformerNodeEncoder routed through the fused packed kernel
+    (interpret mode) equals the dense path in eval mode at d_model=128."""
+    from graphtrans_tpu.nn import transformer as T
+    from graphtrans_tpu.nn.transformer import TransformerNodeEncoder
+
+    B, S, d = 7, 31, 128           # S+1 with CLS -> 32, GB = 4
+    x = jnp.asarray(rng.standard_normal((B, S, d)).astype(np.float32))
+    valid = np.ones((B, S), bool)
+    valid[1, 20:] = False
+    valid[4, :] = False
+    validj = jnp.asarray(valid)
+
+    enc = TransformerNodeEncoder(d_model=d, nhead=4, dim_feedforward=256,
+                                 dropout=0.0, num_layers=2, use_cls=True)
+    variables = enc.init({"params": jax.random.key(0)}, x, validj, False)
+
+    monkeypatch.setattr(T, "_PFUSED_INTERPRET", True)
+    monkeypatch.setattr(T, "_ATTN_BACKEND", "packed_fused")
+    out_fused, _ = enc.apply(variables, x, validj, False)
+    monkeypatch.setattr(T, "_ATTN_BACKEND", "dense")
+    out_dense, _ = enc.apply(variables, x, validj, False)
+
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_dense),
+                               rtol=2e-5, atol=2e-5)
