@@ -47,7 +47,9 @@ def _one_hot(idx, mask, size, dtype):
     iota = jax.lax.broadcasted_iota(jnp.int32, idx.shape + (size,),
                                     len(idx.shape))
     oh = (idx[..., None] == iota).astype(dtype)
-    return oh * mask.astype(dtype)[..., None]
+    # minor-dim insertion must happen on a 32-bit type (Mosaic), so the
+    # mask expands in f32 and casts after
+    return oh * mask.astype(jnp.float32)[..., None].astype(dtype)
 
 
 def _multi_hot(attr, vp, dtype):
@@ -58,7 +60,11 @@ def _multi_hot(attr, vp, dtype):
     iota = jax.lax.broadcasted_iota(jnp.int32, (attr.shape[0], em, vp), 2)
     m = None
     for f in range(nf):
-        hit = (attr[:, f, :, None] == iota).astype(dtype)
+        # explicit slice+expand — advanced indexing with a mixed int/None
+        # subscript lowers as an (unsupported) gather in Mosaic
+        af = jax.lax.squeeze(
+            jax.lax.slice_in_dim(attr, f, f + 1, axis=1), (1,))  # [GT, Em]
+        hit = (jnp.expand_dims(af, 2) == iota).astype(dtype)
         m = hit if m is None else m + hit
     return m
 
@@ -87,7 +93,7 @@ def _fwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
                           sm)
     m = jnp.maximum(pre, 0) if relu else pre
     if has_w:
-        m = m * w_ref[...][..., None].astype(jnp.float32)
+        m = m * w_ref[...].astype(jnp.float32)[..., None]
     m = m * emask.astype(jnp.float32)[..., None]
     oh_dst = _one_hot(dst_ref[...], emask, sm, dt)
     out_ref[...] = jax.lax.dot_general(
@@ -116,7 +122,7 @@ def _bwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
     if has_w:
         m0 = jnp.maximum(pre, 0) if relu else pre
         dw_ref[...] = jnp.sum(dmsg * m0, axis=-1).astype(dw_ref.dtype)
-        dmsg = dmsg * w_ref[...][..., None].astype(jnp.float32)
+        dmsg = dmsg * w_ref[...].astype(jnp.float32)[..., None]
     if relu:
         dmsg = jnp.where(pre > 0, dmsg, 0.0)
     dmsg = (dmsg * emask.astype(jnp.float32)[..., None]).astype(dt)

@@ -121,3 +121,104 @@ def test_fused_dense_agg_matches_xla_dense(rng):
             for ga, gb in zip(gr, gf):
                 np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
                                            rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_fused_gin_agg_matches_xla_dense(rng, weighted, monkeypatch):
+    """Fused-tables aggregation kernel (ops/pallas/gin_agg.py): the
+    in-kernel bond-embedding lookup + aggregation must equal
+    BondEncoder(edge_attr) + the XLA one-hot-matmul path — forward AND
+    grads (x, encoder tables, edge weights) — via the real _aggregate
+    routing with its interpret hook."""
+    import jax
+    from flax import linen as nn
+
+    from graphtrans_tpu.data.batch import collate
+    from graphtrans_tpu.data.synthetic import make_mol_dataset
+    from graphtrans_tpu.nn.conv import _aggregate
+    from graphtrans_tpu.nn.encoders import BondEncoder
+    from graphtrans_tpu.ops import dense_mp
+
+    graphs = make_mol_dataset(num_graphs=6, num_tasks=4, min_nodes=5,
+                              max_nodes=30, seed=7)
+    G, stride, em = 7, 40, 128
+    dense = collate(graphs, G, G * stride, 1024, num_tasks=4,
+                    y_dtype="float32", node_stride=stride, dense_edge_cap=em)
+    d = 128
+
+    class Wrap(nn.Module):
+        @nn.compact
+        def __call__(self, batch, h, w):
+            enc = BondEncoder(d)
+            return _aggregate(batch, h, enc, message="relu_add",
+                              edge_weight=w)
+
+    h = rng.standard_normal((dense.node_feat.shape[0], d)).astype(np.float32)
+    h[~np.asarray(dense.node_mask)] = 0
+    h = jnp.asarray(h)
+    w = (jnp.asarray(rng.standard_normal(
+        (dense.num_graph_slots, em)).astype(np.float32))
+         if weighted else None)
+
+    model = Wrap()
+    params = model.init(jax.random.key(0), dense, h, w)
+
+    def loss(params, h, w, fused):
+        monkeypatch.setattr(dense_mp, "_FUSED_TABLES_INTERPRET", fused)
+        dense_mp.set_fused_tables("on" if fused else "off")
+        try:
+            out = model.apply(params, dense, h, w)
+            return jnp.sum(out ** 2), out
+        finally:
+            dense_mp.set_fused_tables("off")
+
+    (l_x, out_x), g_x = jax.value_and_grad(loss, argnums=(0, 1) if w is None
+                                           else (0, 1, 2), has_aux=True)(
+        params, h, w, False)
+    (l_f, out_f), g_f = jax.value_and_grad(loss, argnums=(0, 1) if w is None
+                                           else (0, 1, 2), has_aux=True)(
+        params, h, w, True)
+
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-5)
+    flat_x = jax.tree_util.tree_leaves(g_x)
+    flat_f = jax.tree_util.tree_leaves(g_f)
+    assert len(flat_x) == len(flat_f)
+    for a, b in zip(flat_x, flat_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_fused_gin_agg_in_gin_conv(rng, monkeypatch):
+    """GINConv end-to-end on the fused-tables route equals the stock dense
+    route (same params), including through BN/MLP."""
+    import jax
+
+    from graphtrans_tpu.data.batch import collate
+    from graphtrans_tpu.data.synthetic import make_mol_dataset
+    from graphtrans_tpu.nn.conv import GINConv
+    from graphtrans_tpu.nn.encoders import BondEncoder
+    from graphtrans_tpu.ops import dense_mp
+
+    graphs = make_mol_dataset(num_graphs=5, num_tasks=4, min_nodes=4,
+                              max_nodes=25, seed=11)
+    G, stride, em = 6, 32, 96
+    dense = collate(graphs, G, G * stride, 640, num_tasks=4,
+                    y_dtype="float32", node_stride=stride, dense_edge_cap=em)
+    d = 128
+    conv = GINConv(emb_dim=d, edge_encoder=BondEncoder(d))
+    h = rng.standard_normal((dense.node_feat.shape[0], d)).astype(np.float32)
+    h[~np.asarray(dense.node_mask)] = 0
+    h = jnp.asarray(h)
+    variables = conv.init(jax.random.key(1), dense, h, False)
+
+    out_x = conv.apply(variables, dense, h, False)
+    monkeypatch.setattr(dense_mp, "_FUSED_TABLES_INTERPRET", True)
+    dense_mp.set_fused_tables("on")
+    try:
+        out_f = conv.apply(variables, dense, h, False)
+    finally:
+        dense_mp.set_fused_tables("off")
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
