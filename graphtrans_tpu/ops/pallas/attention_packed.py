@@ -97,10 +97,14 @@ def _tiled_kv(t, nhead, hd, S):
     return tiled * (row // SP == lane // hd).astype(t.dtype)
 
 
-def _head_masks(valid, S, block):
+def _head_masks(valid, S, block, b_total):
     """[BT, S] key validity -> f32 0/1 softmax mask [BT, S, SP] shared by all
     heads (key j attendable by query i iff j < S, valid, same graph block).
-    Arithmetic combination only — no i1 vector ops (Mosaic limitation)."""
+    b_total masks batch rows past the ragged tail: the grid may overrun B,
+    OOB loads are undefined, so the mask must not trust them. Arithmetic
+    combination only — no i1 vector ops (Mosaic limitation)."""
+    from jax.experimental import pallas as pl
+
     bt = valid.shape[0]
     v = valid.astype(jnp.float32)
     kj = jax.lax.broadcasted_iota(jnp.int32, (1, S, SP), 2)
@@ -109,7 +113,10 @@ def _head_masks(valid, S, block):
         qi = jax.lax.broadcasted_iota(jnp.int32, (1, S, SP), 1)
         m = m * (qi // block == kj // block).astype(jnp.float32)
     vpad = jnp.concatenate([v, jnp.zeros((bt, SP - S), jnp.float32)], axis=1)
-    return m * vpad[:, None, :]
+    base = pl.program_id(0) * bt
+    bi = jax.lax.broadcasted_iota(jnp.int32, (bt, 1, 1), 0) + base
+    ok = (bi < b_total).astype(jnp.float32)
+    return m * vpad[:, None, :] * ok
 
 
 def _probs_all(q, k2, mask, nhead, hd, rate, training, seed,
@@ -142,7 +149,7 @@ def _probs_all(q, k2, mask, nhead, hd, rate, training, seed,
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, *,
-                nhead, rate, training, block, interpret=False):
+                nhead, rate, training, block, b_total, interpret=False):
     from jax.experimental import pallas as pl
 
     q = q_ref[...]
@@ -153,7 +160,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, *,
     seed = seed_ref[0] + pl.program_id(0) * nhead
     k2 = _tiled_kv(k, nhead, hd, S)
     v2 = _tiled_kv(v, nhead, hd, S)
-    mask = _head_masks(valid_ref[...], S, block)
+    mask = _head_masks(valid_ref[...], S, block, b_total)
     pd, _ = _probs_all(q, k2, mask, nhead, hd, rate, training, seed,
                        interpret)
     o_ref[...] = jax.lax.dot_general(
@@ -177,7 +184,7 @@ def _fold_blocks(t2, nhead, hd, S, out_dtype):
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, *, nhead, rate, training, block,
-                interpret=False):
+                b_total, interpret=False):
     from jax.experimental import pallas as pl
 
     q = q_ref[...]
@@ -190,7 +197,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, g_ref,
     seed = seed_ref[0] + pl.program_id(0) * nhead
     k2 = _tiled_kv(k, nhead, hd, S)
     v2 = _tiled_kv(v, nhead, hd, S)
-    mask = _head_masks(valid_ref[...], S, block)
+    mask = _head_masks(valid_ref[...], S, block, b_total)
     pd, p = _probs_all(q, k2, mask, nhead, hd, rate, training, seed,
                        interpret)
 
@@ -228,13 +235,6 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, g_ref,
     dk_ref[...] = _fold_blocks(dk2, nhead, hd, S, dk_ref.dtype)
 
 
-def _pad_b(x, b_pad):
-    pad = b_pad - x.shape[0]
-    if pad == 0:
-        return x
-    return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-
-
 def _specs(S, d, n_in):
     from jax.experimental import pallas as pl
 
@@ -269,24 +269,23 @@ def _call_fwd(q, k, v, key_valid, seed, nhead, rate, training, interpret,
 
     B, S, d = q.shape
     assert S <= SP and d % 128 == 0 and d % nhead == 0, (S, d, nhead)
-    b_pad = -(-B // BT) * BT
-    qp, kp, vp = (_pad_b(t, b_pad) for t in (q, k, v))
-    validp = _pad_b(key_valid, b_pad)
+    # ragged grid: the last tile may overrun B — in-kernel range masking
+    # keeps OOB garbage inert and Pallas masks the OOB stores, so no HBM
+    # pad/slice copies are needed
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
-    o = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, nhead=nhead, rate=rate,
-                          training=training, block=block,
+                          training=training, block=block, b_total=B,
                           interpret=interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b_pad // BT,),
+            grid=(-(-B // BT),),
             in_specs=_specs(S, d, 4),
             out_specs=_specs(S, d, 1)[0],
         ),
-        out_shape=jax.ShapeDtypeStruct((b_pad, S, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, S, d), q.dtype),
         interpret=interpret,
-    )(seed, qp, kp, vp, validp)
-    return o[:B]
+    )(seed, q, k, v, key_valid)
 
 
 def _fwd_rule(q, k, v, key_valid, seed, nhead, rate, training, interpret,
@@ -302,25 +301,22 @@ def _bwd_rule(nhead, rate, training, interpret, block, res, g):
 
     q, k, v, key_valid, seed = res
     B, S, d = q.shape
-    b_pad = -(-B // BT) * BT
-    qp, kp, vp, gp = (_pad_b(t, b_pad) for t in (q, k, v, g))
-    validp = _pad_b(key_valid, b_pad)
     seeds = jnp.asarray(seed, jnp.int32).reshape(1)
     spec3 = _specs(S, d, 1)[0]
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, nhead=nhead, rate=rate,
-                          training=training, block=block,
+                          training=training, block=block, b_total=B,
                           interpret=interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b_pad // BT,),
+            grid=(-(-B // BT),),
             in_specs=_specs(S, d, 5),
             out_specs=[spec3, spec3, spec3],
         ),
-        out_shape=[jax.ShapeDtypeStruct((b_pad, S, d), q.dtype)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((B, S, d), q.dtype)] * 3,
         interpret=interpret,
-    )(seeds, qp, kp, vp, validp, gp)
-    return dq[:B], dk[:B], dv[:B], None, None
+    )(seeds, q, k, v, key_valid, g)
+    return dq, dk, dv, None, None
 
 
 attention_packed.defvjp(_fwd_rule, _bwd_rule)

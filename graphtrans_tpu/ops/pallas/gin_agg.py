@@ -69,6 +69,20 @@ def _multi_hot(attr, vp, dtype):
     return m
 
 
+def _range_mask(emask, g_total):
+    """emask [GT, Em] (any dtype) -> f32 0/1 with rows past the ragged
+    grid tail zeroed: the grid may overrun G, OOB loads are undefined, so
+    nothing may trust them. Downstream maskings use NaN-safe where-selects
+    (garbage can be NaN, and 0*NaN = NaN would pollute the accumulated
+    table gradient)."""
+    from jax.experimental import pallas as pl
+
+    gt = emask.shape[0]
+    base = pl.program_id(0) * gt
+    gi = jax.lax.broadcasted_iota(jnp.int32, emask.shape, 0) + base
+    return emask.astype(jnp.float32) * (gi < g_total).astype(jnp.float32)
+
+
 def _messages(x, src, emask, attr, tbl, sm):
     dt = x.dtype
     prec = _prec(dt)
@@ -84,17 +98,17 @@ def _messages(x, src, emask, attr, tbl, sm):
 
 
 def _fwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
-                out_ref, *, relu: bool, has_w: bool):
+                out_ref, *, relu: bool, has_w: bool, g_total: int):
     x = x_ref[...]
     dt = x.dtype
-    emask = emask_ref[...]
+    emask = _range_mask(emask_ref[...], g_total)
     sm = x.shape[1]
     _, _, pre = _messages(x, src_ref[...], emask, attr_ref[...], tbl_ref[...],
                           sm)
     m = jnp.maximum(pre, 0) if relu else pre
     if has_w:
         m = m * w_ref[...].astype(jnp.float32)[..., None]
-    m = m * emask.astype(jnp.float32)[..., None]
+    m = jnp.where(emask[..., None] > 0, m, 0.0)
     oh_dst = _one_hot(dst_ref[...], emask, sm, dt)
     out_ref[...] = jax.lax.dot_general(
         oh_dst, m.astype(dt), (((1,), (1,)), ((0,), (0,))),
@@ -103,12 +117,13 @@ def _fwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
 
 
 def _bwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
-                g_ref, dx_ref, dtbl_ref, dw_ref, *, relu: bool, has_w: bool):
+                g_ref, dx_ref, dtbl_ref, dw_ref, *, relu: bool, has_w: bool,
+                g_total: int):
     from jax.experimental import pallas as pl
 
     x = x_ref[...]
     dt = x.dtype
-    emask = emask_ref[...]
+    emask = _range_mask(emask_ref[...], g_total)
     sm = x.shape[1]
     prec = _prec(dt)
     oh_src, mh, pre = _messages(x, src_ref[...], emask, attr_ref[...],
@@ -125,7 +140,7 @@ def _bwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
         dmsg = dmsg * w_ref[...].astype(jnp.float32)[..., None]
     if relu:
         dmsg = jnp.where(pre > 0, dmsg, 0.0)
-    dmsg = (dmsg * emask.astype(jnp.float32)[..., None]).astype(dt)
+    dmsg = jnp.where(emask[..., None] > 0, dmsg, 0.0).astype(dt)
     dx_ref[...] = jax.lax.dot_general(
         oh_src, dmsg, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=prec).astype(dx_ref.dtype)
@@ -158,9 +173,7 @@ def fused_gin_agg(xd, src, dst, emask, attr, tbl, w, relu: bool = True,
     """xd [G,Sm,d]; src/dst/emask [G,Em]; attr [G,F,Em] int32 pre-clipped
     with per-feature vocab offsets folded in; tbl [VP,d] concatenated
     (zero-padded) embedding tables; w [G,Em] or None -> [G,Sm,d].
-    G must be a GT multiple — callers pad the graph axis."""
-    if xd.shape[0] % GT != 0:
-        raise ValueError(f"G={xd.shape[0]} must be a multiple of GT={GT}")
+    The graph axis may be ragged (in-kernel range masking — no pads)."""
     if tbl.shape[0] != VP:
         raise ValueError(f"tbl must be padded to {VP} rows, got {tbl.shape}")
     return _call_fwd(xd, src, dst, emask, attr, tbl, w, relu, interpret)
@@ -175,8 +188,8 @@ def _call_fwd(xd, src, dst, emask, attr, tbl, w, relu, interpret):
     has_w = w is not None
     wa = w if has_w else jnp.zeros((G, Em), xd.dtype)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, relu=relu, has_w=has_w),
-        grid=(G // GT,),
+        functools.partial(_fwd_kernel, relu=relu, has_w=has_w, g_total=G),
+        grid=(-(-G // GT),),
         in_specs=_specs(G, Sm, Em, F, VP, d, 0),
         out_specs=pl.BlockSpec((GT, Sm, d), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((G, Sm, d), xd.dtype),
@@ -193,8 +206,8 @@ def _call_bwd(xd, src, dst, emask, attr, tbl, w, gout, relu, interpret):
     has_w = w is not None
     wa = w if has_w else jnp.zeros((G, Em), xd.dtype)
     dx, dtbl, dw = pl.pallas_call(
-        functools.partial(_bwd_kernel, relu=relu, has_w=has_w),
-        grid=(G // GT,),
+        functools.partial(_bwd_kernel, relu=relu, has_w=has_w, g_total=G),
+        grid=(-(-G // GT),),
         in_specs=_specs(G, Sm, Em, F, VP, d, 1),
         out_specs=[
             pl.BlockSpec((GT, Sm, d), lambda i: (i, 0, 0)),
