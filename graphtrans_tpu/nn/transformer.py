@@ -122,7 +122,8 @@ def set_attn_backend(name: str):
     d_model % 128 == 0 (other widths fall back to the XLA dense path)."""
     global _ATTN_BACKEND
     assert name in ("auto", "flash", "smalls", "chunked", "dense",
-                    "packed", "packed_smalls", "packed_fused"), name
+                    "packed", "packed_smalls", "packed_fused",
+                    "packed_layer"), name
     _ATTN_BACKEND = name
 
 
@@ -198,17 +199,18 @@ class MultiheadSelfAttention(nn.Module):
         if attn_bias is not None:
             backend = "dense"
         if backend == "pfused":
-            from ..ops.pallas.attention_packed import attention_packed
+            from ..ops.pallas.attention_packed import attention_packed_qkv
 
             rate = self.dropout if training else 0.0
             seed = (
                 jax.random.randint(self.make_rng("dropout"), (), 0, 2**31 - 1)
                 if rate > 0.0 else jnp.zeros((), jnp.int32)
             )
-            # q,k,v stay [B,S,d] heads-in-lanes — exactly the combined-QKV
-            # projection layout the kernel expects; no head transpose at all
-            y = attention_packed(q, k, v, key_valid, seed, self.nhead,
-                                 rate, training, _PFUSED_INTERPRET, block)
+            # the combined projection output goes straight in ([B,S,3d],
+            # heads-in-lanes) and dqkv comes straight out — no XLA
+            # split/concat copies or head transposes around the kernel
+            y = attention_packed_qkv(qkv, key_valid, seed, self.nhead,
+                                     rate, training, _PFUSED_INTERPRET, block)
             out_w = self.param("out_proj", kaiming_uniform(), (d, d))
             out_b = self.param("out_proj_bias", nn.initializers.zeros, (d,))
             return y.astype(x.dtype) @ out_w + out_b
@@ -273,9 +275,59 @@ class MultiheadSelfAttention(nn.Module):
         return y @ out_w + out_b
 
 
+class _AttnParams(nn.Module):
+    """Parameter surface of MultiheadSelfAttention (same names/shapes/inits)
+    for the fused-layer kernel — instantiated with the SAME submodule name,
+    so the variable tree is identical to the unfused path."""
+
+    d: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("in_proj", nn.initializers.xavier_uniform(),
+                       (self.d, 3 * self.d)),
+            self.param("in_proj_bias", nn.initializers.zeros, (3 * self.d,)),
+            self.param("out_proj", kaiming_uniform(), (self.d, self.d)),
+            self.param("out_proj_bias", nn.initializers.zeros, (self.d,)),
+        )
+
+
+class _DenseParams(nn.Module):
+    """Parameter surface of TDense (torch nn.Linear init)."""
+
+    fan_in: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", kaiming_uniform(),
+                            (self.fan_in, self.features))
+        bound = 1.0 / float(self.fan_in) ** 0.5
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        return kernel, self.param("bias", bias_init, (self.features,))
+
+
+class _LNParams(nn.Module):
+    """Parameter surface of nn.LayerNorm (scale ones, bias zeros)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class TransformerEncoderLayer(nn.Module):
     """Post-norm torch TransformerEncoderLayer: x = LN1(x + Drop(attn(x)));
-    x = LN2(x + Drop(lin2(Drop(act(lin1(x))))))."""
+    x = LN2(x + Drop(lin2(Drop(act(lin1(x)))))). On TPU packed rows the
+    whole layer runs as ONE fused Pallas kernel per direction
+    (ops/pallas/transformer_layer.py) — identical variable tree, identical
+    post-norm semantics."""
 
     d_model: int
     nhead: int
@@ -285,6 +337,29 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, key_valid, training: bool, block: int = 0):
+        d = self.d_model
+        S = x.shape[1]
+        fused = (block > 0 and d % 128 == 0 and S <= 128
+                 and (jax.default_backend() == "tpu" or _PFUSED_INTERPRET)
+                 and _ATTN_BACKEND == "packed_layer")
+        if fused:
+            from ..ops.pallas.transformer_layer import fused_transformer_layer
+
+            wqkv, bqkv, wout, bout = _AttnParams(
+                d, name="MultiheadSelfAttention_0")()
+            s1, b1 = _LNParams(d, name="LayerNorm_0")()
+            w1, bf1 = _DenseParams(d, self.dim_feedforward, name="TDense_0")()
+            w2, bf2 = _DenseParams(self.dim_feedforward, d, name="TDense_1")()
+            s2, b2 = _LNParams(d, name="LayerNorm_1")()
+            use_drop = training and self.dropout > 0.0
+            seed = (
+                jax.random.randint(self.make_rng("dropout"), (), 0, 2**31 - 1)
+                if use_drop else jnp.zeros((), jnp.int32)
+            )
+            return fused_transformer_layer(
+                x, key_valid, seed, wqkv, bqkv, wout, bout, s1, b1, w1, bf1,
+                w2, bf2, s2, b2, self.nhead, self.dropout, self.activation,
+                use_drop, block, _PFUSED_INTERPRET)
         act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
         drop = lambda t: ByteDropout(self.dropout)(t, deterministic=not training)
         a = MultiheadSelfAttention(self.d_model, self.nhead, self.dropout)(
@@ -342,7 +417,8 @@ class TransformerNodeEncoder(nn.Module):
         # are free (row-major); GB*S stays <= 128 so score tiles pad to one
         # lane tile. 'auto' packs on TPU (measured 1.21x whole-step win).
         S = dense.shape[1]
-        pack = (_ATTN_BACKEND in ("packed", "packed_smalls", "packed_fused")
+        pack = (_ATTN_BACKEND in ("packed", "packed_smalls", "packed_fused",
+                                  "packed_layer")
                 or (_ATTN_BACKEND == "auto"
                     and jax.default_backend() == "tpu"))
         gb = max(1, 128 // S) if (pack and self.sp_axis is None) else 1

@@ -148,25 +148,43 @@ def _probs_all(q, k2, mask, nhead, hd, rate, training, seed,
     return pd_all.astype(q.dtype), p_all
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, *,
+def _split_qkv(qkv):
+    """[BT, S, 3d] -> q, k, v (lane slices at d boundaries — d%128==0 keeps
+    them tile-aligned; the combined layout is what the QKV projection emits,
+    so no XLA split/concat copies surround the kernel)."""
+    d = qkv.shape[2] // 3
+    return (jax.lax.slice_in_dim(qkv, 0, d, axis=2),
+            jax.lax.slice_in_dim(qkv, d, 2 * d, axis=2),
+            jax.lax.slice_in_dim(qkv, 2 * d, 3 * d, axis=2))
+
+
+def attn_fwd_math(qkv, mask, nhead, rate, training, seed, interpret=False):
+    """Pure in-VMEM attention forward on the combined qkv value: returns
+    o [BT, S, d] in qkv.dtype. mask comes from _head_masks. Shared by the
+    standalone kernel and the fused transformer-layer kernel."""
+    q, k, v = _split_qkv(qkv)
+    _, S, d = q.shape
+    hd = d // nhead
+    k2 = _tiled_kv(k, nhead, hd, S)
+    v2 = _tiled_kv(v, nhead, hd, S)
+    pd, _ = _probs_all(q, k2, mask, nhead, hd, rate, training, seed,
+                       interpret)
+    return jax.lax.dot_general(
+        pd, v2, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=_prec(q.dtype)).astype(q.dtype)
+
+
+def _fwd_kernel(seed_ref, qkv_ref, valid_ref, o_ref, *,
                 nhead, rate, training, block, b_total, interpret=False):
     from jax.experimental import pallas as pl
 
-    q = q_ref[...]
-    k = k_ref[...]
-    v = v_ref[...]
-    _, S, d = q.shape
-    hd = d // nhead
+    qkv = qkv_ref[...]
+    S = qkv.shape[1]
     seed = seed_ref[0] + pl.program_id(0) * nhead
-    k2 = _tiled_kv(k, nhead, hd, S)
-    v2 = _tiled_kv(v, nhead, hd, S)
     mask = _head_masks(valid_ref[...], S, block, b_total)
-    pd, _ = _probs_all(q, k2, mask, nhead, hd, rate, training, seed,
-                       interpret)
-    o_ref[...] = jax.lax.dot_general(
-        pd, v2, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=_prec(q.dtype)).astype(o_ref.dtype)
+    o_ref[...] = attn_fwd_math(qkv, mask, nhead, rate, training, seed,
+                               interpret).astype(o_ref.dtype)
 
 
 def _fold_blocks(t2, nhead, hd, S, out_dtype):
@@ -182,22 +200,16 @@ def _fold_blocks(t2, nhead, hd, S, out_dtype):
     return jax.lax.slice_in_dim(acc, 0, S, axis=1).astype(out_dtype)
 
 
-def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, *, nhead, rate, training, block,
-                b_total, interpret=False):
-    from jax.experimental import pallas as pl
-
-    q = q_ref[...]
-    k = k_ref[...]
-    v = v_ref[...]
-    g = g_ref[...]
+def attn_bwd_math(qkv, mask, g, nhead, rate, training, seed,
+                  interpret=False):
+    """Pure in-VMEM attention backward: returns dqkv [BT, S, 3d] in
+    qkv.dtype (the dropout mask regenerates from the same seed)."""
+    q, k, v = _split_qkv(qkv)
     _, S, d = q.shape
     hd = d // nhead
     prec = _prec(q.dtype)
-    seed = seed_ref[0] + pl.program_id(0) * nhead
     k2 = _tiled_kv(k, nhead, hd, S)
     v2 = _tiled_kv(v, nhead, hd, S)
-    mask = _head_masks(valid_ref[...], S, block, b_total)
     pd, p = _probs_all(q, k2, mask, nhead, hd, rate, training, seed,
                        interpret)
 
@@ -205,7 +217,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, g_ref,
     dv2 = jax.lax.dot_general(
         pd, g, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=prec)  # [BT,H*SP,d]
-    dv_ref[...] = _fold_blocks(dv2, nhead, hd, S, dv_ref.dtype)
+    dv = _fold_blocks(dv2, nhead, hd, S, q.dtype)
 
     dp = jax.lax.dot_general(
         g, v2, (((2,), (2,)), ((0,), (0,))),
@@ -226,16 +238,31 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, g_ref,
 
     # dq = ds @ k2 (head h's contribution lands only in its lanes via the
     # mask baked into k2 — no extra masking needed)
-    dq_ref[...] = jax.lax.dot_general(
+    dq = jax.lax.dot_general(
         ds_all, k2, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=prec).astype(dq_ref.dtype)
+        preferred_element_type=jnp.float32, precision=prec).astype(q.dtype)
     dk2 = jax.lax.dot_general(
         ds_all, q, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=prec)  # [BT,H*SP,d]
-    dk_ref[...] = _fold_blocks(dk2, nhead, hd, S, dk_ref.dtype)
+    dk = _fold_blocks(dk2, nhead, hd, S, q.dtype)
+    return jnp.concatenate([dq, dk, dv], axis=2)
 
 
-def _specs(S, d, n_in):
+def _bwd_kernel(seed_ref, qkv_ref, valid_ref, g_ref,
+                dqkv_ref, *, nhead, rate, training, block,
+                b_total, interpret=False):
+    from jax.experimental import pallas as pl
+
+    qkv = qkv_ref[...]
+    S = qkv.shape[1]
+    seed = seed_ref[0] + pl.program_id(0) * nhead
+    mask = _head_masks(valid_ref[...], S, block, b_total)
+    dqkv_ref[...] = attn_bwd_math(qkv, mask, g_ref[...], nhead, rate,
+                                  training, seed, interpret).astype(
+        dqkv_ref.dtype)
+
+
+def _specs(S, d, _n=0):
     from jax.experimental import pallas as pl
 
     def blk3(i, *_):
@@ -244,35 +271,49 @@ def _specs(S, d, n_in):
     def blk2(i, *_):
         return (i, 0)
 
-    qkv = pl.BlockSpec((BT, S, d), blk3)
-    val = pl.BlockSpec((BT, S), blk2)
-    return [qkv, qkv, qkv, val] + [qkv] * (n_in - 4)
+    return {
+        "qkv": pl.BlockSpec((BT, S, 3 * d), blk3),
+        "x": pl.BlockSpec((BT, S, d), blk3),
+        "val": pl.BlockSpec((BT, S), blk2),
+    }
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def attention_packed(q, k, v, key_valid, seed, nhead: int, rate: float = 0.0,
-                     training: bool = False, interpret: bool = False,
-                     block: int = 0):
-    """q,k,v: [B, S, d] with heads in lanes (lane c belongs to head
-    c // (d//nhead) — the combined-QKV-projection layout); key_valid: [B,S];
-    seed: int32 scalar. block > 0 restricts attention to `block`-sized
-    diagonal token groups (graph-packed rows). Returns [B, S, d] in the
-    same heads-in-lanes layout. Requires S <= 128 and d % 128 == 0."""
-    return _call_fwd(q, k, v, key_valid, seed, nhead, rate, training,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def attention_packed_qkv(qkv, key_valid, seed, nhead: int, rate: float = 0.0,
+                         training: bool = False, interpret: bool = False,
+                         block: int = 0):
+    """qkv: [B, S, 3d] combined projection output, heads in lanes (lane c of
+    each d-slice belongs to head c // (d//nhead)); key_valid: [B,S]; seed:
+    int32 scalar. block > 0 restricts attention to `block`-sized diagonal
+    token groups (graph-packed rows). Returns [B, S, d]; the backward emits
+    the combined dqkv so no XLA split/concat copies surround the kernel.
+    Requires S <= 128 and d % 128 == 0."""
+    return _call_fwd(qkv, key_valid, seed, nhead, rate, training,
                      interpret, block)
 
 
-def _call_fwd(q, k, v, key_valid, seed, nhead, rate, training, interpret,
+def attention_packed(q, k, v, key_valid, seed, nhead: int, rate: float = 0.0,
+                     training: bool = False, interpret: bool = False,
+                     block: int = 0):
+    """Split-operand convenience wrapper (tests / non-combined callers)."""
+    return attention_packed_qkv(
+        jnp.concatenate([q, k, v], axis=2), key_valid, seed, nhead, rate,
+        training, interpret, block)
+
+
+def _call_fwd(qkv, key_valid, seed, nhead, rate, training, interpret,
               block):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, S, d = q.shape
+    B, S, d3 = qkv.shape
+    d = d3 // 3
     assert S <= SP and d % 128 == 0 and d % nhead == 0, (S, d, nhead)
     # ragged grid: the last tile may overrun B — in-kernel range masking
     # keeps OOB garbage inert and Pallas masks the OOB stores, so no HBM
     # pad/slice copies are needed
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    sp = _specs(S, d, 0)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, nhead=nhead, rate=rate,
                           training=training, block=block, b_total=B,
@@ -280,43 +321,44 @@ def _call_fwd(q, k, v, key_valid, seed, nhead, rate, training, interpret,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(-(-B // BT),),
-            in_specs=_specs(S, d, 4),
-            out_specs=_specs(S, d, 1)[0],
+            in_specs=[sp["qkv"], sp["val"]],
+            out_specs=sp["x"],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, S, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, S, d), qkv.dtype),
         interpret=interpret,
-    )(seed, q, k, v, key_valid)
+    )(seed, qkv, key_valid)
 
 
-def _fwd_rule(q, k, v, key_valid, seed, nhead, rate, training, interpret,
+def _fwd_rule(qkv, key_valid, seed, nhead, rate, training, interpret,
               block):
-    o = _call_fwd(q, k, v, key_valid, seed, nhead, rate, training, interpret,
+    o = _call_fwd(qkv, key_valid, seed, nhead, rate, training, interpret,
                   block)
-    return o, (q, k, v, key_valid, seed)
+    return o, (qkv, key_valid, seed)
 
 
 def _bwd_rule(nhead, rate, training, interpret, block, res, g):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    q, k, v, key_valid, seed = res
-    B, S, d = q.shape
+    qkv, key_valid, seed = res
+    B, S, d3 = qkv.shape
+    d = d3 // 3
     seeds = jnp.asarray(seed, jnp.int32).reshape(1)
-    spec3 = _specs(S, d, 1)[0]
-    dq, dk, dv = pl.pallas_call(
+    sp = _specs(S, d, 0)
+    dqkv = pl.pallas_call(
         functools.partial(_bwd_kernel, nhead=nhead, rate=rate,
                           training=training, block=block, b_total=B,
                           interpret=interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(-(-B // BT),),
-            in_specs=_specs(S, d, 5),
-            out_specs=[spec3, spec3, spec3],
+            in_specs=[sp["qkv"], sp["val"], sp["x"]],
+            out_specs=sp["qkv"],
         ),
-        out_shape=[jax.ShapeDtypeStruct((B, S, d), q.dtype)] * 3,
+        out_shape=jax.ShapeDtypeStruct((B, S, 3 * d), qkv.dtype),
         interpret=interpret,
-    )(seeds, q, k, v, key_valid, g)
-    return dq, dk, dv, None, None
+    )(seeds, qkv, key_valid, g)
+    return dqkv, None, None
 
 
-attention_packed.defvjp(_fwd_rule, _bwd_rule)
+attention_packed_qkv.defvjp(_fwd_rule, _bwd_rule)

@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 
 GT = 16   # graphs per grid step
+QK_CAP = 128  # max packed contraction K = QG*Sm (one-hot build cost grows
+              # linearly with it, MXU efficiency saturates at 128)
 VP = 128  # padded concatenated-vocab rows (lane alignment of the multi-hot)
 
 
@@ -83,18 +85,66 @@ def _range_mask(emask, g_total):
     return emask.astype(jnp.float32) * (gi < g_total).astype(jnp.float32)
 
 
-def _messages(x, src, emask, attr, tbl, sm):
+def _qg(gt, sm):
+    """Graphs packed per matmul group: the per-graph one-hot contraction is
+    K = Sm (e.g. 32 -> ~25%% MXU ceiling); packing QG graphs block-diagonally
+    lifts K to QG*Sm (<= 256) with 3-D dim0/1 reshapes only (free in
+    row-major — no 2-D retiling, which Mosaic would have to shuffle)."""
+    qg = 1
+    while qg * 2 <= gt and gt % (qg * 2) == 0 and (qg * 2) * sm <= QK_CAP:
+        qg *= 2
+    return qg
+
+
+def _grp(t, qg):
+    """[GT, A, B] -> [GT/qg, qg*A, B] (merge dims 0,1 — free)."""
+    g, a, b = t.shape
+    return t.reshape(g // qg, qg * a, b)
+
+
+def _ungrp(t, qg):
+    """[GT/qg, qg*A, B] -> [GT, A, B] (split dim 1 back — free)."""
+    g4, a4, b = t.shape
+    return t.reshape(g4 * qg, a4 // qg, b)
+
+
+def _one_hot_grouped(idx, emask, sm, qg, dtype):
+    """[GT, Em] indices -> grouped block-diagonal one-hot
+    [GT/qg, qg*Em, qg*Sm]: graph g's edges hit columns (g%%qg)*Sm + idx."""
+    gt = idx.shape[0]
+    gl = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
+    idx4 = idx + (gl % qg) * sm
+    iota = jax.lax.broadcasted_iota(jnp.int32, idx.shape + (qg * sm,), 2)
+    oh = (jnp.expand_dims(idx4, 2) == iota).astype(dtype)
+    oh = oh * emask.astype(jnp.float32)[..., None].astype(dtype)
+    return _grp(oh, qg)
+
+
+def _zero_oob_rows(t, g_total):
+    """NaN-safe zeroing of graph rows past the ragged tail: grouped matmuls
+    contract across QG graphs, so OOB garbage (NaN in interpret mode,
+    arbitrary on chip) would leak into valid graphs via 0*NaN."""
+    from jax.experimental import pallas as pl
+
+    gt = t.shape[0]
+    base = pl.program_id(0) * gt
+    gi = jax.lax.broadcasted_iota(jnp.int32, (gt, 1, 1), 0) + base
+    return jnp.where(gi < g_total, t, jnp.zeros_like(t))
+
+
+def _messages(x, src, emask, attr, tbl, sm, qg):
     dt = x.dtype
     prec = _prec(dt)
-    oh_src = _one_hot(src, emask, sm, dt)
-    mh = _multi_hot(attr, tbl.shape[0], dt)
+    oh_src = _one_hot_grouped(src, emask, sm, qg, dt)  # [GT/qg,qg*Em,qg*Sm]
+    mh = _grp(_multi_hot(attr, tbl.shape[0], dt), qg)  # [GT/qg,qg*Em,VP]
     emb = jax.lax.dot_general(
         mh, tbl, (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)     # [GT,Em,d]
+        preferred_element_type=jnp.float32, precision=prec)
+    xg = _grp(x, qg)                                   # [GT/qg,qg*Sm,d]
     xs = jax.lax.dot_general(
-        oh_src, x, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=prec)     # [GT,Em,d]
-    return oh_src, mh, xs + emb
+        oh_src, xg, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)
+    return oh_src, mh, _ungrp(xs + emb, qg)            # pre: [GT,Em,d]
 
 
 def _fwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
@@ -102,18 +152,21 @@ def _fwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
     x = x_ref[...]
     dt = x.dtype
     emask = _range_mask(emask_ref[...], g_total)
+    x = _zero_oob_rows(x, g_total)
     sm = x.shape[1]
+    qg = _qg(x.shape[0], sm)
     _, _, pre = _messages(x, src_ref[...], emask, attr_ref[...], tbl_ref[...],
-                          sm)
+                          sm, qg)
     m = jnp.maximum(pre, 0) if relu else pre
     if has_w:
         m = m * w_ref[...].astype(jnp.float32)[..., None]
     m = jnp.where(emask[..., None] > 0, m, 0.0)
-    oh_dst = _one_hot(dst_ref[...], emask, sm, dt)
-    out_ref[...] = jax.lax.dot_general(
-        oh_dst, m.astype(dt), (((1,), (1,)), ((0,), (0,))),
+    oh_dst = _one_hot_grouped(dst_ref[...], emask, sm, qg, dt)
+    out = jax.lax.dot_general(
+        oh_dst, _grp(m.astype(dt), qg), (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=_prec(dt)).astype(out_ref.dtype)
+        precision=_prec(dt))                     # [GT/qg, qg*Sm, d]
+    out_ref[...] = _ungrp(out, qg).astype(out_ref.dtype)
 
 
 def _bwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
@@ -124,16 +177,19 @@ def _bwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
     x = x_ref[...]
     dt = x.dtype
     emask = _range_mask(emask_ref[...], g_total)
+    x = _zero_oob_rows(x, g_total)
     sm = x.shape[1]
+    qg = _qg(x.shape[0], sm)
     prec = _prec(dt)
     oh_src, mh, pre = _messages(x, src_ref[...], emask, attr_ref[...],
-                                tbl_ref[...], sm)
-    oh_dst = _one_hot(dst_ref[...], emask, sm, dt)
+                                tbl_ref[...], sm, qg)
+    oh_dst = _one_hot_grouped(dst_ref[...], emask, sm, qg, dt)
     # dmsg = one_hot(dst) @ gout (invalid-edge rows are zero via the masked
     # one-hot, so dw/dtbl are implicitly edge-masked)
-    dmsg = jax.lax.dot_general(
-        oh_dst, g_ref[...], (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=prec)     # [GT,Em,d]
+    dmsg = _ungrp(jax.lax.dot_general(
+        oh_dst, _grp(_zero_oob_rows(g_ref[...], g_total), qg),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec), qg)  # [GT,Em,d]
     if has_w:
         m0 = jnp.maximum(pre, 0) if relu else pre
         dw_ref[...] = jnp.sum(dmsg * m0, axis=-1).astype(dw_ref.dtype)
@@ -141,13 +197,15 @@ def _bwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
     if relu:
         dmsg = jnp.where(pre > 0, dmsg, 0.0)
     dmsg = jnp.where(emask[..., None] > 0, dmsg, 0.0).astype(dt)
-    dx_ref[...] = jax.lax.dot_general(
-        oh_src, dmsg, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=prec).astype(dx_ref.dtype)
+    dmsg_g = _grp(dmsg, qg)                          # [GT/qg, qg*Em, d]
+    dx = jax.lax.dot_general(
+        oh_src, dmsg_g, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)  # [GT/qg,qg*Sm,d]
+    dx_ref[...] = _ungrp(dx, qg).astype(dx_ref.dtype)
     # table grad accumulates across grid steps in the revisited f32 block
     dtp = jax.lax.dot_general(
-        mh, dmsg, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=prec)     # [GT,Vp,d]
+        mh, dmsg_g, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)  # [GT/qg,Vp,d]
     dtp = jnp.sum(dtp, axis=0)
 
     @pl.when(pl.program_id(0) == 0)

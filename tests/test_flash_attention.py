@@ -307,3 +307,83 @@ def test_packed_fused_encoder_matches_dense(rng, monkeypatch):
 
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_dense),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_packed_layer_matches_unfused(rng, monkeypatch):
+    """The fully fused transformer-layer kernel (interpret mode) must equal
+    the unfused composition with SHARED params — forward and grads wrt
+    input AND every weight/bias/LN param — in eval mode at d_model=128."""
+    from graphtrans_tpu.nn import transformer as T
+    from graphtrans_tpu.nn.transformer import TransformerNodeEncoder
+
+    B, S, d = 11, 31, 128          # S+1 with CLS -> 32, GB = 4
+    x = jnp.asarray(rng.standard_normal((B, S, d)).astype(np.float32))
+    valid = np.ones((B, S), bool)
+    valid[1, 20:] = False
+    valid[4, :] = False
+    validj = jnp.asarray(valid)
+
+    enc = TransformerNodeEncoder(d_model=d, nhead=4, dim_feedforward=512,
+                                 dropout=0.0, num_layers=2, use_cls=True)
+    monkeypatch.setattr(T, "_PFUSED_INTERPRET", True)
+    monkeypatch.setattr(T, "_ATTN_BACKEND", "packed_layer")
+    variables = enc.init({"params": jax.random.key(0)}, x, validj, False)
+    # identical variable tree between the fused and unfused paths
+    monkeypatch.setattr(T, "_ATTN_BACKEND", "packed")
+    variables_unfused = enc.init({"params": jax.random.key(0)}, x, validj,
+                                 False)
+    t1 = jax.tree_util.tree_structure(variables)
+    t2 = jax.tree_util.tree_structure(variables_unfused)
+    assert t1 == t2
+
+    def run(backend, params, xx):
+        monkeypatch.setattr(T, "_ATTN_BACKEND", backend)
+        out, _ = enc.apply(params, xx, validj, False)
+        return out
+
+    out_fused = run("packed_layer", variables, x)
+    out_ref = run("dense", variables, x)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=5e-5, atol=5e-5)
+
+    def loss(backend):
+        def f(params, xx):
+            return jnp.sum(run(backend, params, xx) ** 2)
+        return f
+
+    (gp_f, gx_f) = jax.grad(loss("packed_layer"), argnums=(0, 1))(
+        variables, x)
+    (gp_r, gx_r) = jax.grad(loss("dense"), argnums=(0, 1))(variables, x)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(gp_r),
+                    jax.tree_util.tree_leaves(gp_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_packed_layer_dropout_determinism(rng, monkeypatch):
+    """Fused layer dropout: same rngs -> identical output; training mode
+    differs from eval; backward runs (mask regeneration path)."""
+    from graphtrans_tpu.nn import transformer as T
+    from graphtrans_tpu.nn.transformer import TransformerNodeEncoder
+
+    B, S, d = 8, 31, 128
+    x = jnp.asarray(rng.standard_normal((B, S, d)).astype(np.float32))
+    validj = jnp.ones((B, S), bool)
+    enc = TransformerNodeEncoder(d_model=d, nhead=4, dim_feedforward=256,
+                                 dropout=0.3, num_layers=1, use_cls=True)
+    monkeypatch.setattr(T, "_PFUSED_INTERPRET", True)
+    monkeypatch.setattr(T, "_ATTN_BACKEND", "packed_layer")
+    variables = enc.init({"params": jax.random.key(0)}, x, validj, False)
+    rngs = {"dropout": jax.random.key(7)}
+    o1, _ = enc.apply(variables, x, validj, True, rngs=rngs)
+    o2, _ = enc.apply(variables, x, validj, True, rngs=rngs)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    o3, _ = enc.apply(variables, x, validj, False)
+    assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 0
+
+    g = jax.grad(lambda p: jnp.sum(
+        enc.apply(p, x, validj, True, rngs=rngs)[0] ** 2))(variables)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))
