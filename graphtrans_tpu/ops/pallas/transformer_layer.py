@@ -31,6 +31,17 @@ f32 statistics). Requires d % 128 == 0 and packed S' <= 128; the caller
 (nn/transformer.TransformerEncoderLayer) falls back to the unfused path
 otherwise. Parity-tested against the unfused composition with shared
 params in interpret mode.
+
+MEASURED RESULT (v5e, bs=4096 flagship, bf16): SLOWER than the production
+mix — 73.7 ms step (BT=8, 32 MB scoped VMEM) / 74.3 (BT=4) vs 57.4 for
+fused-attention + fused-aggregation + XLA-for-the-rest. The monolithic
+kernel serializes the layer's whole dependency chain per tile where XLA
+overlaps ~30 independent fusions (DMA/compute and multiple matmuls in
+flight), and the flash-style backward recompute adds ~50% matmul FLOPs;
+VMEM caps the tile at BT=8. Kept as an opt-in backend
+(set_attn_backend('packed_layer')) — the same negative-result status as
+attention_smallS; the winning grain on this chip is op-level fusion
+(attention, aggregation), not layer-level.
 """
 
 from __future__ import annotations
@@ -43,9 +54,9 @@ import jax.numpy as jnp
 from .attention_packed import (_head_masks, _keep_mask, _prec, attn_bwd_math,
                                attn_fwd_math)
 
-BT = 4        # batch rows (packed graph-rows) per grid step (BT=8's
-              # backward live set measured 17.96 MB vs the 16 MB scoped
-              # VMEM limit on v5e)
+BT = 8        # batch rows (packed graph-rows) per grid step (f32 keep
+              # masks put the BT=8 backward at 17.96 MB vs the 16 MB scoped
+              # VMEM limit; bf16 keep masks bring it back under)
 EPS = 1e-6    # flax nn.LayerNorm default
 STREAMS = 3   # dropout streams beyond the attention heads
 
@@ -288,6 +299,16 @@ def _bwd_kernel(seed_ref, x_ref, valid_ref, wqkv_ref, bqkv_ref, wout_ref,
     db2_ref[...] += db2
 
 
+def _cparams(interpret):
+    """The backward's live set (~18 MB at BT=8) exceeds the default 16 MB
+    scoped-VMEM limit — raise it for this kernel (v5e has headroom)."""
+    if interpret:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
+
 def _pspecs(d, ff):
     from jax.experimental import pallas as pl
 
@@ -357,6 +378,7 @@ def _call_fwd(x, valid, seed, wqkv, bqkv, wout, bout, s1, b1, w1, bf1, w2,
             out_specs=pl.BlockSpec((BT, S, d), blk3),
         ),
         out_shape=jax.ShapeDtypeStruct((B, S, d), x.dtype),
+        compiler_params=_cparams(interpret),
         interpret=interpret,
     )(seed, x, valid[:, None, :], wqkv, _p2d(bqkv), wout, _p2d(bout),
       _p2d(s1), _p2d(b1), w1, _p2d(bf1), w2, _p2d(bf2), _p2d(s2), _p2d(b2))
@@ -410,6 +432,7 @@ def _bwd_rule(nhead, rate, act, training, block, interpret, res, g):
         ),
         out_shape=[jax.ShapeDtypeStruct((B, S, d), x.dtype)]
         + [jax.ShapeDtypeStruct(shape, jnp.float32) for shape in accs],
+        compiler_params=_cparams(interpret),
         interpret=interpret,
     )(seeds, x, valid[:, None, :], wqkv, _p2d(bqkv), wout, _p2d(bout),
       _p2d(s1), _p2d(b1), w1, _p2d(bf1), w2, _p2d(bf2), _p2d(s2), _p2d(b2),
