@@ -55,35 +55,37 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, m_ref, l_ref,
     q = q_ref[0].astype(jnp.float32)                       # [BQ, hd]
     scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
 
+    # stats ride as [BQ, 1] columns and masks as [1, BK] rows — Mosaic has
+    # no 1-D vectors / minor-dim insertion on non-32-bit types
     nk = s_len // BK
-    m = jnp.full((BQ,), _NEG, jnp.float32)
-    l = jnp.zeros((BQ,), jnp.float32)
+    m = jnp.full((BQ, 1), _NEG, jnp.float32)
+    l = jnp.zeros((BQ, 1), jnp.float32)
     acc = jnp.zeros((BQ, q.shape[-1]), jnp.float32)
 
     def body(kc, carry):
         m, l, acc = carry
         kb = k_ref[0, pl.dslice(kc * BK, BK), :].astype(jnp.float32)
         vb = v_ref[0, pl.dslice(kc * BK, BK), :].astype(jnp.float32)
-        kv = valid_ref[0, pl.dslice(kc * BK, BK)]
+        kv = valid_ref[0, :, pl.dslice(kc * BK, BK)]       # [1, BK]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        s = jnp.where(kv[None, :], s, _NEG)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        s = jnp.where(kv, s, _NEG)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new[:, None])
-        p = jnp.where(kv[None, :], p, 0.0)
-        l = l * alpha + jnp.sum(p, axis=-1)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(kv, p, 0.0)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         if training and rate > 0.0:
             keep = _dropout_keep((BQ, BK), rate,
                                  seed_ref[0] + (bh * 16384 + qi) * 1024 + kc)
             p = p * keep / (1.0 - rate)
-        acc = acc * alpha[:, None] + jax.lax.dot_general(
+        acc = acc * alpha + jax.lax.dot_general(
             p, vb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return m_new, l, acc
 
     m, l, acc = jax.lax.fori_loop(0, nk, body, (m, l, acc))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-16)[:, None]).astype(o_ref.dtype)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-16)).astype(o_ref.dtype)
     m_ref[0] = m
     l_ref[0] = l
 
@@ -97,9 +99,9 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, do_ref, delta_ref,
     qi = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    delta = delta_ref[0]
-    m = m_ref[0]
-    l_inv = 1.0 / jnp.maximum(l_ref[0], 1e-16)
+    delta = delta_ref[0]                                   # [BQ, 1]
+    m = m_ref[0]                                           # [BQ, 1]
+    l_inv = 1.0 / jnp.maximum(l_ref[0], 1e-16)             # [BQ, 1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
 
     nk = s_len // BK
@@ -108,19 +110,19 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, do_ref, delta_ref,
     def body(kc, dq):
         kb = k_ref[0, pl.dslice(kc * BK, BK), :].astype(jnp.float32)
         vb = v_ref[0, pl.dslice(kc * BK, BK), :].astype(jnp.float32)
-        kv = valid_ref[0, pl.dslice(kc * BK, BK)]
+        kv = valid_ref[0, :, pl.dslice(kc * BK, BK)]       # [1, BK]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        s = jnp.where(kv[None, :], s, _NEG)
-        p = jnp.exp(s - m[:, None]) * l_inv[:, None]
-        p = jnp.where(kv[None, :], p, 0.0)
+        s = jnp.where(kv, s, _NEG)
+        p = jnp.exp(s - m) * l_inv
+        p = jnp.where(kv, p, 0.0)
         dov = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if training and rate > 0.0:
             keep = _dropout_keep((BQ, BK), rate,
                                  seed_ref[0] + (bh * 16384 + qi) * 1024 + kc)
             dov = dov * keep / (1.0 - rate)
-        ds = p * (dov - delta[:, None])
+        ds = p * (dov - delta)
         dq = dq + jax.lax.dot_general(ds, kb, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32) * scale
         return dq
@@ -137,7 +139,7 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, do_ref, delta_ref,
     ki = pl.program_id(1)
     kb = k_ref[0].astype(jnp.float32)                      # [BK, hd]
     vb = v_ref[0].astype(jnp.float32)
-    kv = valid_ref[0]                                      # [BK]
+    kv = valid_ref[0]                                      # [1, BK]
     scale = 1.0 / jnp.sqrt(jnp.asarray(kb.shape[-1], jnp.float32))
 
     nq = s_len // BQ
@@ -148,14 +150,15 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, do_ref, delta_ref,
         dk, dv = carry
         qb = q_ref[0, pl.dslice(qc * BQ, BQ), :].astype(jnp.float32)
         dob = do_ref[0, pl.dslice(qc * BQ, BQ), :].astype(jnp.float32)
-        delta = delta_ref[0, pl.dslice(qc * BQ, BQ)]
-        mb = m_ref[0, pl.dslice(qc * BQ, BQ)]
-        lb_inv = 1.0 / jnp.maximum(l_ref[0, pl.dslice(qc * BQ, BQ)], 1e-16)
+        delta = delta_ref[0, pl.dslice(qc * BQ, BQ), :]    # [BQ, 1]
+        mb = m_ref[0, pl.dslice(qc * BQ, BQ), :]           # [BQ, 1]
+        lb_inv = 1.0 / jnp.maximum(
+            l_ref[0, pl.dslice(qc * BQ, BQ), :], 1e-16)
         s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        s = jnp.where(kv[None, :], s, _NEG)
-        p = jnp.exp(s - mb[:, None]) * lb_inv[:, None]
-        p = jnp.where(kv[None, :], p, 0.0)                 # [BQ, BK]
+        s = jnp.where(kv, s, _NEG)
+        p = jnp.exp(s - mb) * lb_inv
+        p = jnp.where(kv, p, 0.0)                          # [BQ, BK]
         if training and rate > 0.0:
             keep = _dropout_keep((BQ, BK), rate,
                                  seed_ref[0] + (bh * 16384 + qc) * 1024 + ki)
@@ -169,7 +172,7 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, do_ref, delta_ref,
                                   preferred_element_type=jnp.float32)
         if keep is not None:
             dov = dov * keep / (1.0 - rate)
-        ds = p * (dov - delta[:, None])                    # [BQ, BK]
+        ds = p * (dov - delta)                             # [BQ, BK]
         dk = dk + jax.lax.dot_general(ds, qb, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32) * scale
         return dk, dv
@@ -214,6 +217,9 @@ def _fwd(q, k, v, key_valid, rate, seed, training, interpret):
 
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
     grid = (BH, s_pad // BQ)
+    # valid rides as [BH, 1, S] and the m/l stats as [BH, S, 1]: 2-D blocks
+    # with a leading 1 violate Mosaic's (8,128) last-two-dims rule, a unit
+    # dim in the right place satisfies it for free
     o, m, l = pl.pallas_call(
         functools.partial(_fwd_kernel, s_len=s_pad, rate=rate,
                           training=training),
@@ -224,21 +230,21 @@ def _fwd(q, k, v, key_valid, rate, seed, training, interpret):
                 pl.BlockSpec((1, BQ, hd), lambda b, i, *_: (b, i, 0)),
                 pl.BlockSpec((1, s_pad, hd), lambda b, i, *_: (b, 0, 0)),
                 pl.BlockSpec((1, s_pad, hd), lambda b, i, *_: (b, 0, 0)),
-                pl.BlockSpec((1, s_pad), lambda b, i, *_: (b, 0)),
+                pl.BlockSpec((1, 1, s_pad), lambda b, i, *_: (b, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, BQ, hd), lambda b, i, *_: (b, i, 0)),
-                pl.BlockSpec((1, BQ), lambda b, i, *_: (b, i)),
-                pl.BlockSpec((1, BQ), lambda b, i, *_: (b, i)),
+                pl.BlockSpec((1, BQ, 1), lambda b, i, *_: (b, i, 0)),
+                pl.BlockSpec((1, BQ, 1), lambda b, i, *_: (b, i, 0)),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((BH, s_pad, hd), q.dtype),
-            jax.ShapeDtypeStruct((BH, s_pad), jnp.float32),
-            jax.ShapeDtypeStruct((BH, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((BH, s_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((BH, s_pad, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(seed, qp, kp, vp, validp)
+    )(seed, qp, kp, vp, validp[:, None, :])
     return o[:, :S], m, l, (qp, kp, vp, validp, s_pad)
 
 
@@ -257,7 +263,8 @@ def _flash_bwd_rule(rate, training, interpret, res, g):
     S = o.shape[1]
     gp = _pad_s(g, s_pad, 1)
     op = _pad_s(o, s_pad, 1)
-    delta = jnp.sum(op.astype(jnp.float32) * gp.astype(jnp.float32), axis=-1)
+    delta = jnp.sum(op.astype(jnp.float32) * gp.astype(jnp.float32),
+                    axis=-1, keepdims=True)               # [BH, s_pad, 1]
 
     seeds = jnp.asarray(seed, jnp.int32).reshape(1)
     dq = pl.pallas_call(
@@ -270,17 +277,17 @@ def _flash_bwd_rule(rate, training, interpret, res, g):
                 pl.BlockSpec((1, BQ, hd), lambda b, i, *_: (b, i, 0)),
                 pl.BlockSpec((1, s_pad, hd), lambda b, i, *_: (b, 0, 0)),
                 pl.BlockSpec((1, s_pad, hd), lambda b, i, *_: (b, 0, 0)),
-                pl.BlockSpec((1, s_pad), lambda b, i, *_: (b, 0)),
+                pl.BlockSpec((1, 1, s_pad), lambda b, i, *_: (b, 0, 0)),
                 pl.BlockSpec((1, BQ, hd), lambda b, i, *_: (b, i, 0)),
-                pl.BlockSpec((1, BQ), lambda b, i, *_: (b, i)),
-                pl.BlockSpec((1, BQ), lambda b, i, *_: (b, i)),
-                pl.BlockSpec((1, BQ), lambda b, i, *_: (b, i)),
+                pl.BlockSpec((1, BQ, 1), lambda b, i, *_: (b, i, 0)),
+                pl.BlockSpec((1, BQ, 1), lambda b, i, *_: (b, i, 0)),
+                pl.BlockSpec((1, BQ, 1), lambda b, i, *_: (b, i, 0)),
             ],
             out_specs=pl.BlockSpec((1, BQ, hd), lambda b, i, *_: (b, i, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((BH, s_pad, hd), qp.dtype),
         interpret=interpret,
-    )(seeds, qp, kp, vp, validp, gp, delta, m, l)
+    )(seeds, qp, kp, vp, validp[:, None, :], gp, delta, m, l)
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, s_len=s_pad, rate=rate,
@@ -292,11 +299,11 @@ def _flash_bwd_rule(rate, training, interpret, res, g):
                 pl.BlockSpec((1, s_pad, hd), lambda b, i, *_: (b, 0, 0)),
                 pl.BlockSpec((1, BK, hd), lambda b, i, *_: (b, i, 0)),
                 pl.BlockSpec((1, BK, hd), lambda b, i, *_: (b, i, 0)),
-                pl.BlockSpec((1, BK), lambda b, i, *_: (b, i)),
+                pl.BlockSpec((1, 1, BK), lambda b, i, *_: (b, 0, i)),
                 pl.BlockSpec((1, s_pad, hd), lambda b, i, *_: (b, 0, 0)),
-                pl.BlockSpec((1, s_pad), lambda b, i, *_: (b, 0)),
-                pl.BlockSpec((1, s_pad), lambda b, i, *_: (b, 0)),
-                pl.BlockSpec((1, s_pad), lambda b, i, *_: (b, 0)),
+                pl.BlockSpec((1, s_pad, 1), lambda b, i, *_: (b, 0, 0)),
+                pl.BlockSpec((1, s_pad, 1), lambda b, i, *_: (b, 0, 0)),
+                pl.BlockSpec((1, s_pad, 1), lambda b, i, *_: (b, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, BK, hd), lambda b, i, *_: (b, i, 0)),
@@ -308,7 +315,7 @@ def _flash_bwd_rule(rate, training, interpret, res, g):
             jax.ShapeDtypeStruct((BH, s_pad, hd), vp.dtype),
         ],
         interpret=interpret,
-    )(seeds, qp, kp, vp, validp, gp, delta, m, l)
+    )(seeds, qp, kp, vp, validp[:, None, :], gp, delta, m, l)
 
     return dq[:, :S], dk[:, :S], dv[:, :S], None, None
 
