@@ -119,7 +119,12 @@ def set_attn_backend(name: str):
     Pallas kernel (ops/pallas/attention_packed.py): per-head structure is a
     block-diagonal K/V construct so every matmul contracts over the full
     d=128 lanes — the fix for packed_smalls' lane-padding loss. Requires
-    d_model % 128 == 0 (other widths fall back to the XLA dense path)."""
+    d_model % 128 == 0 (other widths fall back to the XLA dense path).
+    'packed_layer' fuses the ENTIRE encoder layer into one Pallas kernel
+    per direction (ops/pallas/transformer_layer.py) — measured SLOWER
+    (73.7 vs 57.4 ms step: a monolithic kernel serializes what XLA runs
+    as overlapping fusions) and kept opt-in as a documented negative
+    result."""
     global _ATTN_BACKEND
     assert name in ("auto", "flash", "smalls", "chunked", "dense",
                     "packed", "packed_smalls", "packed_fused",

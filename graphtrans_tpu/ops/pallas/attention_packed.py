@@ -262,7 +262,7 @@ def _bwd_kernel(seed_ref, qkv_ref, valid_ref, g_ref,
         dqkv_ref.dtype)
 
 
-def _specs(S, d, _n=0):
+def _specs(S, d):
     from jax.experimental import pallas as pl
 
     def blk3(i, *_):
@@ -313,7 +313,7 @@ def _call_fwd(qkv, key_valid, seed, nhead, rate, training, interpret,
     # keeps OOB garbage inert and Pallas masks the OOB stores, so no HBM
     # pad/slice copies are needed
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
-    sp = _specs(S, d, 0)
+    sp = _specs(S, d)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, nhead=nhead, rate=rate,
                           training=training, block=block, b_total=B,
@@ -344,7 +344,7 @@ def _bwd_rule(nhead, rate, training, interpret, block, res, g):
     B, S, d3 = qkv.shape
     d = d3 // 3
     seeds = jnp.asarray(seed, jnp.int32).reshape(1)
-    sp = _specs(S, d, 0)
+    sp = _specs(S, d)
     dqkv = pl.pallas_call(
         functools.partial(_bwd_kernel, nhead=nhead, rate=rate,
                           training=training, block=block, b_total=B,

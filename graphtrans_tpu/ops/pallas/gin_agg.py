@@ -45,15 +45,6 @@ def _prec(dtype):
             else jax.lax.Precision.DEFAULT)
 
 
-def _one_hot(idx, mask, size, dtype):
-    iota = jax.lax.broadcasted_iota(jnp.int32, idx.shape + (size,),
-                                    len(idx.shape))
-    oh = (idx[..., None] == iota).astype(dtype)
-    # minor-dim insertion must happen on a 32-bit type (Mosaic), so the
-    # mask expands in f32 and casts after
-    return oh * mask.astype(jnp.float32)[..., None].astype(dtype)
-
-
 def _multi_hot(attr, vp, dtype):
     """attr [GT, F, Em] (pre-clipped, offset-folded) -> [GT, Em, vp] with
     one 1 per feature column."""
