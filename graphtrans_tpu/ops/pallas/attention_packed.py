@@ -56,29 +56,10 @@ def _prec(dtype):
 
 
 def _keep_mask(shape, rate, seed, interpret=False):
-    thresh = jnp.uint32(min(max(1.0 - rate, 0.0), 1.0) * 0xFFFFFFFF)
-    if interpret:
-        # pltpu PRNG has no CPU lowering; a deterministic integer hash keeps
-        # the dropout structure (per-seed determinism, identical fwd/bwd
-        # mask regeneration) testable in interpret mode
-        pos = jnp.zeros(shape, jnp.uint32)
-        stride = 1
-        for ax in range(len(shape) - 1, -1, -1):
-            pos = pos + jax.lax.broadcasted_iota(
-                jnp.uint32, shape, ax) * jnp.uint32(stride)
-            stride *= shape[ax]
-        x = pos * jnp.uint32(2654435761) + jnp.asarray(
-            seed, jnp.int32).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-        x = x ^ (x >> 16)
-        x = x * jnp.uint32(0x7FEB352D)
-        x = x ^ (x >> 15)
-        x = x * jnp.uint32(0x846CA68B)
-        x = x ^ (x >> 16)
-        return (x < thresh).astype(jnp.float32)
-    from jax.experimental.pallas import tpu as pltpu
+    from .prng import random_bits_u32
 
-    pltpu.prng_seed(seed)
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    thresh = jnp.uint32(min(max(1.0 - rate, 0.0), 1.0) * 0xFFFFFFFF)
+    bits = random_bits_u32(shape, seed, interpret)
     return (bits < thresh).astype(jnp.float32)
 
 

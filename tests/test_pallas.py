@@ -222,3 +222,58 @@ def test_fused_gin_agg_in_gin_conv(rng, monkeypatch):
         dense_mp.set_fused_tables("off")
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_dropout_semantics(rng):
+    """Fused byte-dropout (interpret mode): output is x*scale-or-zero with
+    the right keep fraction, deterministic in the seed, and the backward
+    regenerates the exact forward mask."""
+    import jax
+
+    from graphtrans_tpu.ops.pallas.dropout import byte_dropout
+
+    x = jnp.asarray(rng.standard_normal((300, 7, 128)).astype(np.float32))
+    x = jnp.where(jnp.abs(x) < 1e-3, 1e-2, x)  # keep zeros unambiguous
+    drop = int(round(0.3 * 256))
+    scale = 1.0 / (1.0 - drop / 256.0)
+
+    y = byte_dropout(x, 123, drop, interpret=True)
+    y2 = byte_dropout(x, 123, drop, interpret=True)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+    y3 = byte_dropout(x, 124, drop, interpret=True)
+    assert not np.array_equal(np.asarray(y), np.asarray(y3))
+
+    yn, xn = np.asarray(y), np.asarray(x)
+    kept = yn != 0
+    np.testing.assert_allclose(yn[kept], (xn * scale)[kept], rtol=1e-6)
+    keep_frac = kept.mean()
+    assert abs(keep_frac - (1 - drop / 256.0)) < 0.02, keep_frac
+
+    # backward applies the same mask to the cotangent
+    g = jax.grad(lambda t: jnp.sum(byte_dropout(t, 123, drop,
+                                                interpret=True) * 2.0))(x)
+    np.testing.assert_allclose(np.asarray(g), np.where(kept, 2.0 * scale, 0.0),
+                               rtol=1e-6)
+
+
+def test_byte_dropout_module_pallas_route(rng, monkeypatch):
+    """ByteDropout routes big lane-aligned tensors to the fused kernel; the
+    kernel path keeps the module contract (scale-or-zero, keep rate)."""
+    import jax
+
+    from graphtrans_tpu.nn import dropout as dmod
+
+    x = jnp.asarray(rng.standard_normal((2048, 256)).astype(np.float32))
+    x = jnp.where(jnp.abs(x) < 1e-3, 1e-2, x)
+    m = dmod.ByteDropout(rate=0.3)
+    monkeypatch.setattr(dmod, "_PALLAS_INTERPRET", True)
+    monkeypatch.setattr(dmod, "_PALLAS_MIN_SIZE", 1024)
+    y = m.apply({}, x, False, rngs={"dropout": jax.random.key(5)})
+    yn, xn = np.asarray(y), np.asarray(x)
+    kept = yn != 0
+    scale = 1.0 / (1.0 - round(0.3 * 256) / 256.0)
+    np.testing.assert_allclose(yn[kept], (xn * scale)[kept], rtol=1e-6)
+    assert abs(kept.mean() - (1 - round(0.3 * 256) / 256.0)) < 0.03
+    # same key -> same mask (the kernel seed derives from the key data)
+    y2 = m.apply({}, x, False, rngs={"dropout": jax.random.key(5)})
+    np.testing.assert_array_equal(yn, np.asarray(y2))

@@ -1,0 +1,48 @@
+"""Capture a jax.profiler trace of the flagship bench train step on TPU.
+
+Builds the same state/step/batch as bench.py (bf16+rbg dense by default),
+warms the compile, then traces a few chained steps. Feed the resulting
+directory to tools/profile_summary.py.
+
+Usage: python tools/profile_step.py [outdir] [steps]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def main():
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gt_profile"
+    nsteps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+    from graphtrans_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import bench
+
+    state, step, batch = bench.build(batch_size=4096, precision="bf16")
+    batch = jax.device_put(batch)
+    rng = jax.random.key(7)
+
+    # warm compile + execution
+    s = state
+    for _ in range(3):
+        s, loss = step(s, batch, rng)
+    float(loss)
+
+    with jax.profiler.trace(outdir):
+        s2, loss = state, None
+        for _ in range(nsteps):
+            s2, loss = step(s2, batch, rng)
+        print("loss", float(loss))
+    print("trace written to", outdir)
+
+
+if __name__ == "__main__":
+    main()
