@@ -21,22 +21,31 @@ from .init import TDense, normal
 from .norm import MaskedBatchNorm
 
 
-def _aggregate(batch, h, edge_encoder, message="relu_add", edge_weight=None):
+def _fused_tables_route(batch, h, edge_encoder, message) -> bool:
+    return (batch.edge_src_dense is not None
+            and message in ("relu_add", "add")
+            and getattr(edge_encoder, "supports_concat_tables", False)
+            and h.shape[-1] % 128 == 0
+            and dense_mp.fused_tables_enabled())
+
+
+def _aggregate(batch, h, edge_encoder, message="relu_add", edge_weight=None,
+               eps_scale=None):
     """Route the gather->message->scatter through the strided one-hot-matmul
     path when the batch carries the dense layout (scatter-free fwd AND bwd,
     ops/dense_mp.py), else the flat segment path. On TPU, encoders that
     expose their tables (BondEncoder) take the fused-lookup Pallas kernel
-    (ops/pallas/gin_agg.py): the edge-embedding tensor never touches HBM."""
+    (ops/pallas/gin_agg.py): the edge-embedding tensor never touches HBM.
+    eps_scale (only honored on the fused route — callers must check
+    _fused_tables_route first) additionally fuses the GIN combine, returning
+    eps_scale*h + agg."""
     if batch.edge_src_dense is not None:
-        if (message in ("relu_add", "add")
-                and getattr(edge_encoder, "supports_concat_tables", False)
-                and h.shape[-1] % 128 == 0
-                and dense_mp.fused_tables_enabled()):
+        if _fused_tables_route(batch, h, edge_encoder, message):
             tables, dims = edge_encoder(batch.edge_attr_dense,
                                         concat_tables=True)
             return dense_mp.gather_message_scatter_dense_tables(
                 h, batch, tables, dims, message=message,
-                edge_weight=edge_weight)
+                edge_weight=edge_weight, eps_scale=eps_scale)
         edge_emb = edge_encoder(batch.edge_attr_dense)
         return dense_mp.gather_message_scatter_dense(
             h, batch, edge_emb, message=message, edge_weight=edge_weight)
@@ -57,9 +66,15 @@ class GINConv(nn.Module):
 
     @nn.compact
     def __call__(self, batch, h, training: bool):
-        agg = _aggregate(batch, h, self.edge_encoder, message="relu_add")
         eps = self.param("eps", nn.initializers.zeros, (1,))
-        out = (1 + eps) * h + agg
+        if _fused_tables_route(batch, h, self.edge_encoder, "relu_add"):
+            # (1+eps)*h + agg fused into the aggregation kernel — the
+            # aggregation tensor never materializes on its own
+            out = _aggregate(batch, h, self.edge_encoder, message="relu_add",
+                             eps_scale=(1.0 + eps[0]).astype(jnp.float32))
+        else:
+            agg = _aggregate(batch, h, self.edge_encoder, message="relu_add")
+            out = (1 + eps) * h + agg
         out = TDense(2 * self.emb_dim)(out)
         out = MaskedBatchNorm(2 * self.emb_dim, axis_name=self.bn_axis_name, name="mlp_bn")(
             out, batch.node_mask, use_running_average=not training

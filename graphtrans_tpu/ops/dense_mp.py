@@ -39,8 +39,8 @@ PRECISION = jax.lax.Precision.HIGHEST
 # folds the bond-encoder lookup into the aggregation so the [G, Em, d]
 # edge-embedding tensor never touches HBM. 'auto' = on-TPU; 'on'/'off'
 # force it (A/B benches); tests route through interpret mode.
-# MEASURED (v5e, bs=4096 flagship, bf16): 63.5 ms step fused vs 67.6 XLA
-# dense path (exps/bench_gin_agg.py) -> 'auto' (on-TPU) is the default.
+# MEASURED (v5e, bs=4096 flagship, bf16, slope timing): 63.5 ms step fused
+# vs 67.6 XLA dense path -> 'auto' (on-TPU) is the default.
 _FUSED_TABLES = "auto"
 _FUSED_TABLES_INTERPRET = False
 
@@ -61,12 +61,14 @@ def fused_tables_enabled():
 
 def gather_message_scatter_dense_tables(x, batch, tables, dims,
                                         message: str = "relu_add",
-                                        edge_weight=None):
+                                        edge_weight=None, eps_scale=None):
     """Fused-lookup aggregation over the strided layout: edge embeddings are
     computed IN-KERNEL from batch.edge_attr_dense and the concatenated
     encoder tables (see ops/pallas/gin_agg.py) — the [G, Em, d] embedding
     tensor and its cotangent never exist in HBM. Semantics identical to
-    encoder(edge_attr) + gather_message_scatter_dense."""
+    encoder(edge_attr) + gather_message_scatter_dense. With eps_scale
+    (traced f32 scalar) the GIN combine fuses in too: returns
+    eps_scale*x + agg."""
     from .pallas import gin_agg
 
     Sm = batch.node_stride
@@ -84,8 +86,9 @@ def gather_message_scatter_dense_tables(x, batch, tables, dims,
         [tables, jnp.zeros((gin_agg.VP - tables.shape[0], d), tables.dtype)])
     out = gin_agg.fused_gin_agg(
         xd, batch.edge_src_dense, batch.edge_dst_dense,
-        batch.edge_mask_dense, attr_idx, tbl, edge_weight,
-        message == "relu_add", _FUSED_TABLES_INTERPRET)
+        batch.edge_mask_dense, attr_idx, tbl, edge_weight, eps_scale,
+        message == "relu_add", eps_scale is not None,
+        _FUSED_TABLES_INTERPRET)
     return out.reshape(G * Sm, d)
 
 

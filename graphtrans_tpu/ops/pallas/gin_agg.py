@@ -139,7 +139,8 @@ def _messages(x, src, emask, attr, tbl, sm, qg):
 
 
 def _fwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
-                out_ref, *, relu: bool, has_w: bool, g_total: int):
+                scale_ref, out_ref, *, relu: bool, has_w: bool,
+                prologue: bool, g_total: int):
     x = x_ref[...]
     dt = x.dtype
     emask = _range_mask(emask_ref[...], g_total)
@@ -153,16 +154,21 @@ def _fwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
         m = m * w_ref[...].astype(jnp.float32)[..., None]
     m = jnp.where(emask[..., None] > 0, m, 0.0)
     oh_dst = _one_hot_grouped(dst_ref[...], emask, sm, qg, dt)
-    out = jax.lax.dot_general(
+    out = _ungrp(jax.lax.dot_general(
         oh_dst, _grp(m.astype(dt), qg), (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=_prec(dt))                     # [GT/qg, qg*Sm, d]
-    out_ref[...] = _ungrp(out, qg).astype(out_ref.dtype)
+        precision=_prec(dt)), qg)                # [GT, Sm, d]
+    if prologue:
+        # GIN epilogue fused in: out = (1+eps)*x + agg — the aggregation
+        # alone never materializes (pad rows of x are zero, so the
+        # padded-rows-zero invariant holds)
+        out = out + scale_ref[0, 0] * x.astype(jnp.float32)
+    out_ref[...] = out.astype(out_ref.dtype)
 
 
 def _bwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
-                g_ref, dx_ref, dtbl_ref, dw_ref, *, relu: bool, has_w: bool,
-                g_total: int):
+                scale_ref, g_ref, dx_ref, dtbl_ref, dw_ref, dscale_ref, *,
+                relu: bool, has_w: bool, prologue: bool, g_total: int):
     from jax.experimental import pallas as pl
 
     x = x_ref[...]
@@ -175,10 +181,11 @@ def _bwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
     oh_src, mh, pre = _messages(x, src_ref[...], emask, attr_ref[...],
                                 tbl_ref[...], sm, qg)
     oh_dst = _one_hot_grouped(dst_ref[...], emask, sm, qg, dt)
+    gz = _zero_oob_rows(g_ref[...], g_total)
     # dmsg = one_hot(dst) @ gout (invalid-edge rows are zero via the masked
     # one-hot, so dw/dtbl are implicitly edge-masked)
     dmsg = _ungrp(jax.lax.dot_general(
-        oh_dst, _grp(_zero_oob_rows(g_ref[...], g_total), qg),
+        oh_dst, _grp(gz, qg),
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=prec), qg)  # [GT,Em,d]
     if has_w:
@@ -189,10 +196,13 @@ def _bwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
         dmsg = jnp.where(pre > 0, dmsg, 0.0)
     dmsg = jnp.where(emask[..., None] > 0, dmsg, 0.0).astype(dt)
     dmsg_g = _grp(dmsg, qg)                          # [GT/qg, qg*Em, d]
-    dx = jax.lax.dot_general(
+    dx = _ungrp(jax.lax.dot_general(
         oh_src, dmsg_g, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=prec)  # [GT/qg,qg*Sm,d]
-    dx_ref[...] = _ungrp(dx, qg).astype(dx_ref.dtype)
+        preferred_element_type=jnp.float32,
+        precision=prec), qg)                         # [GT, Sm, d]
+    if prologue:
+        dx = dx + scale_ref[0, 0] * gz.astype(jnp.float32)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
     # table grad accumulates across grid steps in the revisited f32 block
     dtp = jax.lax.dot_general(
         mh, dmsg_g, (((1,), (1,)), ((0,), (0,))),
@@ -202,8 +212,14 @@ def _bwd_kernel(x_ref, src_ref, dst_ref, emask_ref, attr_ref, tbl_ref, w_ref,
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dtbl_ref[...] = jnp.zeros_like(dtbl_ref)
+        dscale_ref[...] = jnp.zeros_like(dscale_ref)
 
     dtbl_ref[...] += dtp
+    if prologue:
+        # d(scale) = sum g .* x — OOB rows are zeroed in both operands, pad
+        # rows of x are zero, so the sum covers exactly the valid entries
+        part = jnp.sum(gz.astype(jnp.float32) * x.astype(jnp.float32))
+        dscale_ref[...] += jnp.broadcast_to(part, dscale_ref.shape)
 
 
 def _specs(G, Sm, Em, F, Vp, d, n_extra):
@@ -213,22 +229,34 @@ def _specs(G, Sm, Em, F, Vp, d, n_extra):
     edge = pl.BlockSpec((GT, Em), lambda i: (i, 0))
     attr = pl.BlockSpec((GT, F, Em), lambda i: (i, 0, 0))
     tblb = pl.BlockSpec((Vp, d), lambda i: (0, 0))
-    return [node, edge, edge, edge, attr, tblb, edge] + [node] * n_extra
+    scb = pl.BlockSpec((8, 128), lambda i: (0, 0))
+    return [node, edge, edge, edge, attr, tblb, edge, scb] + [node] * n_extra
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def fused_gin_agg(xd, src, dst, emask, attr, tbl, w, relu: bool = True,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_gin_agg(xd, src, dst, emask, attr, tbl, w, scale,
+                  relu: bool = True, prologue: bool = False,
                   interpret: bool = False):
     """xd [G,Sm,d]; src/dst/emask [G,Em]; attr [G,F,Em] int32 pre-clipped
     with per-feature vocab offsets folded in; tbl [VP,d] concatenated
     (zero-padded) embedding tables; w [G,Em] or None -> [G,Sm,d].
+    With prologue=True, `scale` (a traced f32 scalar, typically 1+eps)
+    fuses the GIN combine: returns scale*xd + agg instead of agg alone
+    (reference /root/reference/modules/conv.py:26-36's (1+eps)x + sum).
     The graph axis may be ragged (in-kernel range masking — no pads)."""
     if tbl.shape[0] != VP:
         raise ValueError(f"tbl must be padded to {VP} rows, got {tbl.shape}")
-    return _call_fwd(xd, src, dst, emask, attr, tbl, w, relu, interpret)
+    return _call_fwd(xd, src, dst, emask, attr, tbl, w, scale, relu,
+                     prologue, interpret)
 
 
-def _call_fwd(xd, src, dst, emask, attr, tbl, w, relu, interpret):
+def _scale_arr(scale):
+    s = jnp.asarray(0.0 if scale is None else scale, jnp.float32)
+    return jnp.broadcast_to(s, (8, 128))
+
+
+def _call_fwd(xd, src, dst, emask, attr, tbl, w, scale, relu, prologue,
+              interpret):
     from jax.experimental import pallas as pl
 
     G, Sm, d = xd.shape
@@ -237,16 +265,18 @@ def _call_fwd(xd, src, dst, emask, attr, tbl, w, relu, interpret):
     has_w = w is not None
     wa = w if has_w else jnp.zeros((G, Em), xd.dtype)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, relu=relu, has_w=has_w, g_total=G),
+        functools.partial(_fwd_kernel, relu=relu, has_w=has_w,
+                          prologue=prologue, g_total=G),
         grid=(-(-G // GT),),
         in_specs=_specs(G, Sm, Em, F, VP, d, 0),
         out_specs=pl.BlockSpec((GT, Sm, d), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((G, Sm, d), xd.dtype),
         interpret=interpret,
-    )(xd, src, dst, emask, attr, tbl, wa)
+    )(xd, src, dst, emask, attr, tbl, wa, _scale_arr(scale))
 
 
-def _call_bwd(xd, src, dst, emask, attr, tbl, w, gout, relu, interpret):
+def _call_bwd(xd, src, dst, emask, attr, tbl, w, scale, gout, relu,
+              prologue, interpret):
     from jax.experimental import pallas as pl
 
     G, Sm, d = xd.shape
@@ -254,35 +284,44 @@ def _call_bwd(xd, src, dst, emask, attr, tbl, w, gout, relu, interpret):
     F = attr.shape[1]
     has_w = w is not None
     wa = w if has_w else jnp.zeros((G, Em), xd.dtype)
-    dx, dtbl, dw = pl.pallas_call(
-        functools.partial(_bwd_kernel, relu=relu, has_w=has_w, g_total=G),
+    dx, dtbl, dw, dsc = pl.pallas_call(
+        functools.partial(_bwd_kernel, relu=relu, has_w=has_w,
+                          prologue=prologue, g_total=G),
         grid=(-(-G // GT),),
         in_specs=_specs(G, Sm, Em, F, VP, d, 1),
         out_specs=[
             pl.BlockSpec((GT, Sm, d), lambda i: (i, 0, 0)),
             pl.BlockSpec((VP, d), lambda i: (0, 0)),
             pl.BlockSpec((GT, Em), lambda i: (i, 0)),
+            pl.BlockSpec((8, 128), lambda i: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((G, Sm, d), xd.dtype),
             jax.ShapeDtypeStruct((VP, d), jnp.float32),
             jax.ShapeDtypeStruct((G, Em), wa.dtype),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(xd, src, dst, emask, attr, tbl, wa, gout)
-    return dx, dtbl.astype(tbl.dtype), (dw if has_w else None)
+    )(xd, src, dst, emask, attr, tbl, wa, _scale_arr(scale), gout)
+    dscale = None
+    if prologue:
+        dscale = dsc[0, 0].astype(
+            jnp.float32 if scale is None else jnp.asarray(scale).dtype)
+    return dx, dtbl.astype(tbl.dtype), (dw if has_w else None), dscale
 
 
-def _fwd_rule(xd, src, dst, emask, attr, tbl, w, relu, interpret):
-    out = _call_fwd(xd, src, dst, emask, attr, tbl, w, relu, interpret)
-    return out, (xd, src, dst, emask, attr, tbl, w)
+def _fwd_rule(xd, src, dst, emask, attr, tbl, w, scale, relu, prologue,
+              interpret):
+    out = _call_fwd(xd, src, dst, emask, attr, tbl, w, scale, relu,
+                    prologue, interpret)
+    return out, (xd, src, dst, emask, attr, tbl, w, scale)
 
 
-def _bwd_rule(relu, interpret, res, gout):
-    xd, src, dst, emask, attr, tbl, w = res
-    dx, dtbl, dw = _call_bwd(xd, src, dst, emask, attr, tbl, w, gout, relu,
-                             interpret)
-    return dx, None, None, None, None, dtbl, dw
+def _bwd_rule(relu, prologue, interpret, res, gout):
+    xd, src, dst, emask, attr, tbl, w, scale = res
+    dx, dtbl, dw, dscale = _call_bwd(xd, src, dst, emask, attr, tbl, w,
+                                     scale, gout, relu, prologue, interpret)
+    return dx, None, None, None, None, dtbl, dw, dscale
 
 
 fused_gin_agg.defvjp(_fwd_rule, _bwd_rule)

@@ -277,3 +277,52 @@ def test_byte_dropout_module_pallas_route(rng, monkeypatch):
     # same key -> same mask (the kernel seed derives from the key data)
     y2 = m.apply({}, x, False, rngs={"dropout": jax.random.key(5)})
     np.testing.assert_array_equal(yn, np.asarray(y2))
+
+
+def test_fused_gin_agg_eps_prologue_grads(rng, monkeypatch):
+    """The fused GIN combine (scale*x + agg inside the kernel) matches the
+    explicit (1+eps)*h + agg formulation — loss, and grads for params
+    (incl. eps and the encoder tables) and h."""
+    import jax
+
+    from graphtrans_tpu.data.batch import collate
+    from graphtrans_tpu.data.synthetic import make_mol_dataset
+    from graphtrans_tpu.nn.conv import GINConv
+    from graphtrans_tpu.nn.encoders import BondEncoder
+    from graphtrans_tpu.ops import dense_mp
+
+    graphs = make_mol_dataset(num_graphs=6, num_tasks=4, min_nodes=5,
+                              max_nodes=28, seed=3)
+    G, stride, em = 7, 32, 96
+    dense = collate(graphs, G, G * stride, 640, num_tasks=4,
+                    y_dtype="float32", node_stride=stride, dense_edge_cap=em)
+    d = 128
+    conv = GINConv(emb_dim=d, edge_encoder=BondEncoder(d))
+    h = rng.standard_normal((dense.node_feat.shape[0], d)).astype(np.float32)
+    h[~np.asarray(dense.node_mask)] = 0
+    h = jnp.asarray(h)
+    variables = conv.init(jax.random.key(2), dense, h, False)
+    # non-zero eps so its gradient path is exercised off the init point
+    variables = jax.tree_util.tree_map(lambda x: x, variables)
+    params = dict(variables["params"])
+    params["eps"] = jnp.asarray([0.37], jnp.float32)
+    variables = {**variables, "params": params}
+
+    def loss(variables, h, fused):
+        monkeypatch.setattr(dense_mp, "_FUSED_TABLES_INTERPRET", fused)
+        dense_mp.set_fused_tables("on" if fused else "off")
+        try:
+            out = conv.apply(variables, dense, h, False)
+            return jnp.sum(out ** 2)
+        finally:
+            dense_mp.set_fused_tables("off")
+
+    l_x, g_x = jax.value_and_grad(loss, argnums=(0, 1))(variables, h, False)
+    l_f, g_f = jax.value_and_grad(loss, argnums=(0, 1))(variables, h, True)
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-5)
+    flat_x, tree_x = jax.tree_util.tree_flatten(g_x)
+    flat_f, tree_f = jax.tree_util.tree_flatten(g_f)
+    assert tree_x == tree_f
+    for a, b in zip(flat_x, flat_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)

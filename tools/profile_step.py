@@ -23,6 +23,9 @@ def main():
 
     from graphtrans_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    # match bench.py's production config — forgetting rbg costs ~17 ms of
+    # threefry mask generation and poisons the profile attribution
+    jax.config.update("jax_default_prng_impl", "rbg")
 
     import bench
 

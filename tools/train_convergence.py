@@ -1,0 +1,55 @@
+"""On-chip convergence check for the fused production stack.
+
+Trains the bench flagship (GIN-virtual JK=cat -> CLS transformer, bf16 +
+rbg + dense layout + fused kernels) on a fixed synthetic molpcba-like
+dataset with DEVICE-RESIDENT batches (the tunnel's H2D would otherwise
+dominate) and prints the per-epoch loss trajectory. Falling loss through
+the full fused path is the smoke test that the kernels' gradients are
+wired right at production scale — the quality-parity story vs the
+reference lives in tests/ (torch weight-copy parity) and main.py runs.
+
+Usage: python tools/train_convergence.py [epochs] [batch_size]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def main():
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    bs = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+
+    from graphtrans_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    import bench
+
+    n_batches = 4
+    states = []
+    state, step, batch0 = bench.build(batch_size=bs, seed=0, precision="bf16")
+    batches = [jax.device_put(batch0)]
+    for i in range(1, n_batches):
+        _, _, b = bench.build(batch_size=bs, seed=i, precision="bf16")
+        batches.append(jax.device_put(b))
+    del states
+
+    rng = jax.random.key(42)
+    for epoch in range(epochs):
+        losses = []
+        for i, b in enumerate(batches):
+            rng = jax.random.fold_in(rng, epoch * n_batches + i)
+            state, loss = step(state, b, rng)
+            losses.append(loss)
+        vals = [float(l) for l in losses]
+        print(f"epoch {epoch}: loss {sum(vals)/len(vals):.4f}")
+
+
+if __name__ == "__main__":
+    main()
