@@ -92,6 +92,69 @@ def build(batch_size=256, nodes_per=26, emb=256, seed=0, precision="f32",
     return state, step, batch
 
 
+def build_code2(batch_size=512, emb=300, seed=0, precision="bf16"):
+    """The OTHER headline workload: ogbg-code2-shaped ASTs (~50-250 nodes,
+    augmented AST/inverse/next-token edges with 2-dim attrs) through the
+    code2 flagship config (GCN-virtual JK=cat emb 300 -> norm_input CLS
+    transformer -> 5-position seq head, per
+    configs/code2/gnn-transformer/JK=cat/pooling=cls+norm_input.yml).
+    Graphs this size are outside the dense-layout win regime (the one-hot
+    contraction's FLOP inflation is the per-graph node count), so this
+    measures the FLAT segment path — the production route for code2/PNA.
+    Synthetic vocab is ~100 tokens vs the real 5002; the head matmul delta
+    is <0.1 ms at these shapes."""
+    from graphtrans_tpu.data.batch import collate
+    from graphtrans_tpu.data.loader import dataset_caps
+    from graphtrans_tpu.data.synthetic import make_code_dataset
+    from graphtrans_tpu.data.vocab import (augment_edge, encode_seq_to_arr,
+                                           get_vocab_mapping)
+    from graphtrans_tpu.models import MODELS
+    from graphtrans_tpu.nn.encoders import ASTNodeEncoder, LinearEdgeEncoder
+    from graphtrans_tpu.train import losses
+    from graphtrans_tpu.train.optim import build_optimizer
+    from graphtrans_tpu.train.state import TrainState
+    from graphtrans_tpu.trainers import TRAINER_REGISTRY
+    from __graft_entry__ import _flagship_args
+
+    raw = make_code_dataset(num_graphs=batch_size, vocab_size=5000,
+                            seq_len_max=6, min_nodes=50, max_nodes=250,
+                            seed=seed)
+    vocab2idx, _ = get_vocab_mapping([g["y_seq"] for g in raw], 5000)
+    graphs = []
+    for g in raw:
+        g = augment_edge(g)
+        g["y_arr"] = encode_seq_to_arr(g["y_seq"], vocab2idx, 5)
+        graphs.append(g)
+    from graphtrans_tpu.ops import block_plan as bp
+
+    caps = dataset_caps(graphs, batch_size)
+    batch = collate(graphs, batch_size + 1, caps[0], caps[1],
+                    num_tasks=len(vocab2idx), max_seq_len=5,
+                    y_dtype="int32",
+                    bsp_chunks_cap=bp.chunk_capacity(caps[1], caps[0]))
+    args = _flagship_args(gnn_type="gcn", gnn_virtual_node=True,
+                          gnn_JK="cat", gnn_emb_dim=emb, d_model=128,
+                          gnn_dropout=0.0, max_seq_len=5,
+                          transformer_norm_input=True)
+    args.precision = precision
+    model = MODELS["gnn-transformer"].build(
+        len(vocab2idx), args,
+        ASTNodeEncoder(emb, num_nodetypes=20, num_nodeattributes=100,
+                       max_depth=20),
+        lambda e: LinearEdgeEncoder(e))
+    variables = jax.jit(lambda r, b: model.init(r, b, None, False))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch,
+    )
+    tx, _ = build_optimizer(args, 100)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}),
+                              tx.init(variables["params"]))
+    trainer = TRAINER_REGISTRY["baseline"]
+    step = trainer.make_train_step(model, losses.seq_token_loss, tx, args,
+                                   donate=False)
+    return state, step, batch
+
+
 def flagship_flops(batch, emb=256, d_model=128, ff=512, nhead=4,
                    gnn_layers=4, enc_layers=4, num_tasks=128):
     """Analytic matmul FLOPs for one train step of the bench flagship
@@ -173,9 +236,42 @@ def main():
                    help="chip peak for the MFU line (default: TPU v5e "
                         "bf16 systolic peak; XLA executes f32 matmuls as "
                         "single-pass bf16 MXU ops here)")
+    p.add_argument("--workload", type=str, default="mol",
+                   choices=["mol", "code2"],
+                   help="mol = molpcba-like flagship on the dense layout "
+                        "(the headline); code2 = AST-shaped GCN-virtual "
+                        "seq-head flagship on the flat segment path")
     args = p.parse_args()
 
     jax.config.update("jax_default_prng_impl", args.prng)
+
+    if args.workload == "code2":
+        bs = args.batch_size if args.batch_size != 4096 else 512
+        state, step, batch = build_code2(batch_size=bs,
+                                         precision=args.precision)
+        rng = jax.random.key(0)
+        edges = int(np.asarray(batch.edge_mask).sum())
+        batch = jax.device_put(batch)
+        dt = time_steps(step, state, batch, rng, iters=args.iters)
+        print(json.dumps({
+            "metric": "train_edges_per_sec_per_chip",
+            "value": round(edges / dt, 1),
+            "unit": "edges/s",
+            "vs_baseline": None,
+            "detail": {
+                "workload": "code2", "layout": "flat",
+                "precision": args.precision, "prng": args.prng,
+                "batch_size": bs, "edges": edges,
+                "step_ms": round(dt * 1e3, 2),
+                "note": "code2-shaped ASTs on the flat segment path (the "
+                        "production route for graphs beyond the dense-"
+                        "layout regime); no reference-GPU estimate exists "
+                        "for this workload",
+                "device": str(jax.devices()[0].device_kind),
+            },
+        }))
+        return
+
     state, step, batch = build(batch_size=args.batch_size,
                                precision=args.precision, layout=args.layout)
     rng = jax.random.key(0)

@@ -72,6 +72,18 @@ class GraphBatch:
     edge_dst_dense: Any = None   # [G, Em] int32 graph-local dst (pad 0)
     edge_mask_dense: Any = None  # [G, Em] bool
     edge_attr_dense: Any = None  # [G, Em, Fe]
+    # --- blocked-CSR (block-pair one-hot SpMM) extras ---
+    # Flat-layout batches for graphs beyond the dense-layout regime (code2
+    # ASTs): edges grouped into (dst_block, src_block) 128-row pairs so the
+    # aggregation runs as MXU one-hot matmuls (ops/block_plan.py +
+    # ops/pallas/block_spmm.py). bsp_fwd is the dst-major plan (forward +
+    # d_emb), bsp_bwd the src-major plan (dx); edge_attr copies ride in
+    # each plan's chunk order so the encoder output feeds the kernel with
+    # no device-side permutation.
+    bsp_fwd: Any = None          # dict of plan arrays (see block_plan.py)
+    bsp_bwd: Any = None
+    edge_attr_bsp_fwd: Any = None  # [C*EB, Fe]
+    edge_attr_bsp_bwd: Any = None
 
     # --- static metadata (aux_data, not traced) ---
     max_nodes_dense: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -128,6 +140,7 @@ def collate(
     dense_cap: Optional[int] = None,
     node_stride: int = 0,
     dense_edge_cap: int = 0,
+    bsp_chunks_cap: int = 0,
 ) -> GraphBatch:
     """Assemble a list of host-side graph dicts into one padded GraphBatch.
 
@@ -278,6 +291,23 @@ def collate(
     edge_attr = edge_attr[full_order]
     edge_mask = edge_mask[full_order]
 
+    # blocked-CSR plans (flat layout only; see GraphBatch.bsp_fwd). Built
+    # AFTER the dst-sort so the fwd plan's chunk grouping refines the CSR
+    # order. A batch whose edge distribution overflows the static cap gets
+    # plan=None and falls back to the segment path at runtime.
+    bsp_fwd = bsp_bwd = ea_bsp_fwd = ea_bsp_bwd = None
+    if bsp_chunks_cap > 0 and node_stride == 0 and N % 128 == 0:
+        from ..ops import block_plan as _bp
+
+        plan_f = _bp.build_block_plan(edge_src, edge_dst, edge_mask, N,
+                                      bsp_chunks_cap, major="dst")
+        plan_b = _bp.build_block_plan(edge_src, edge_dst, edge_mask, N,
+                                      bsp_chunks_cap, major="src")
+        if plan_f is not None and plan_b is not None:
+            ea_bsp_fwd = _bp.permute_edge_data(edge_attr, plan_f.pop("perm"))
+            ea_bsp_bwd = _bp.permute_edge_data(edge_attr, plan_b.pop("perm"))
+            bsp_fwd, bsp_bwd = plan_f, plan_b
+
     dense_adj = None
     if with_dense_adj:
         dense_adj = np.zeros((G, S + 1, S + 1), dtype=bool)
@@ -318,6 +348,10 @@ def collate(
         edge_dst_dense=edge_dst_dense,
         edge_mask_dense=edge_mask_dense,
         edge_attr_dense=edge_attr_dense,
+        bsp_fwd=bsp_fwd,
+        bsp_bwd=bsp_bwd,
+        edge_attr_bsp_fwd=ea_bsp_fwd,
+        edge_attr_bsp_bwd=ea_bsp_bwd,
         max_nodes_dense=S,
         node_stride=node_stride,
     )

@@ -15,7 +15,7 @@ from typing import Callable
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import dense_mp, scatter
+from ..ops import block_plan, dense_mp, scatter
 from ..ops.segment import out_degree
 from .init import TDense, normal
 from .norm import MaskedBatchNorm
@@ -29,16 +29,39 @@ def _fused_tables_route(batch, h, edge_encoder, message) -> bool:
             and dense_mp.fused_tables_enabled())
 
 
+def _bsp_route(batch, message) -> bool:
+    """Blocked-CSR one-hot SpMM (ops/pallas/block_spmm.py): flat-layout
+    batches that carry block plans, on TPU."""
+    return (batch.edge_src_dense is None
+            and getattr(batch, "bsp_fwd", None) is not None
+            and message in ("relu_add", "add")
+            and block_plan.block_spmm_enabled())
+
+
+def bsp_slot_weight(plan, per_node_vals, major_is_src: bool):
+    """Per-edge weight for the blocked kernel from per-node values:
+    w_slot = vals[src] * vals[dst], endpoints reconstructed from the plan
+    (pad slots hit row 0 in-range; the kernel's mask kills them)."""
+    out_g = plan["blk_out"][:, None] * block_plan.NB + plan["loc_out"]
+    in_g = plan["blk_in"][:, None] * block_plan.NB + plan["loc_in"]
+    src_g, dst_g = (out_g, in_g) if major_is_src else (in_g, out_g)
+    return (per_node_vals[src_g.reshape(-1)]
+            * per_node_vals[dst_g.reshape(-1)])
+
+
 def _aggregate(batch, h, edge_encoder, message="relu_add", edge_weight=None,
-               eps_scale=None):
+               eps_scale=None, edge_weight_bsp=None):
     """Route the gather->message->scatter through the strided one-hot-matmul
     path when the batch carries the dense layout (scatter-free fwd AND bwd,
-    ops/dense_mp.py), else the flat segment path. On TPU, encoders that
-    expose their tables (BondEncoder) take the fused-lookup Pallas kernel
-    (ops/pallas/gin_agg.py): the edge-embedding tensor never touches HBM.
+    ops/dense_mp.py), the blocked-CSR one-hot kernel when it carries block
+    plans (flat layout at code2 scale, ops/pallas/block_spmm.py), else the
+    flat segment path. On TPU, encoders that expose their tables
+    (BondEncoder) take the fused-lookup Pallas kernel (ops/pallas/
+    gin_agg.py): the edge-embedding tensor never touches HBM.
     eps_scale (only honored on the fused route — callers must check
     _fused_tables_route first) additionally fuses the GIN combine, returning
-    eps_scale*h + agg."""
+    eps_scale*h + agg. edge_weight_bsp: (w_fwd, w_bwd) chunk-ordered weights
+    for the blocked route (see bsp_slot_weight)."""
     if batch.edge_src_dense is not None:
         if _fused_tables_route(batch, h, edge_encoder, message):
             tables, dims = edge_encoder(batch.edge_attr_dense,
@@ -46,10 +69,24 @@ def _aggregate(batch, h, edge_encoder, message="relu_add", edge_weight=None,
             return dense_mp.gather_message_scatter_dense_tables(
                 h, batch, tables, dims, message=message,
                 edge_weight=edge_weight, eps_scale=eps_scale)
-        edge_emb = edge_encoder(batch.edge_attr_dense)
+        edge_emb = edge_encoder(batch.edge_attr_dense).astype(h.dtype)
         return dense_mp.gather_message_scatter_dense(
             h, batch, edge_emb, message=message, edge_weight=edge_weight)
-    edge_emb = edge_encoder(batch.edge_attr)
+    if _bsp_route(batch, message):
+        from ..ops.pallas.block_spmm import blocked_gather_message_scatter
+
+        emb_f = edge_encoder(batch.edge_attr_bsp_fwd).astype(h.dtype)
+        emb_b = edge_encoder(batch.edge_attr_bsp_bwd).astype(h.dtype)
+        wf, wb = edge_weight_bsp if edge_weight_bsp is not None else (None,
+                                                                      None)
+        return blocked_gather_message_scatter(
+            h, emb_f, emb_b, batch.bsp_fwd, batch.bsp_bwd, w_fwd=wf,
+            w_bwd=wb, message=message,
+            interpret=block_plan._BLOCK_SPMM_INTERPRET)
+    # compute messages in the node dtype: a float edge encoder (or the
+    # zero encoder's f32 zeros) must not promote the aggregation under
+    # --precision bf16
+    edge_emb = edge_encoder(batch.edge_attr).astype(h.dtype)
     return scatter.gather_message_scatter(
         h, edge_emb, batch.edge_src, batch.edge_dst, batch.edge_mask,
         num_nodes=h.shape[0], message=message, edge_weight=edge_weight)
@@ -97,6 +134,7 @@ class GCNConv(nn.Module):
     def __call__(self, batch, h, training: bool):
         x = TDense(self.emb_dim)(h)
         x = jnp.where(batch.node_mask[:, None], x, 0)
+        norm_bsp = None
         if batch.edge_gcn_norm is not None:
             # node-sharded execution: degrees are a GLOBAL property the
             # local edge shard cannot see — use the host-precomputed
@@ -122,8 +160,12 @@ class GCNConv(nn.Module):
             dis = jnp.where(deg > 0, deg, 1.0) ** -0.5
             norm = dis[batch.edge_src] * dis[batch.edge_dst]
             inv_deg = 1.0 / deg[:, None]
+            if _bsp_route(batch, "relu_add"):
+                # chunk-ordered norms for the blocked kernel (both orders)
+                norm_bsp = (bsp_slot_weight(batch.bsp_fwd, dis, False),
+                            bsp_slot_weight(batch.bsp_bwd, dis, True))
         agg = _aggregate(batch, x, self.edge_encoder, message="relu_add",
-                         edge_weight=norm)
+                         edge_weight=norm, edge_weight_bsp=norm_bsp)
         root_emb = self.param("root_emb", normal(1.0), (self.emb_dim,))
         self_term = nn.relu(x + root_emb) * inv_deg
         out = agg + self_term

@@ -45,6 +45,14 @@ class TDense(nn.Module):
     def __call__(self, x):
         fan_in = x.shape[-1]
         kernel = self.param("kernel", kaiming_uniform(), (fan_in, self.features))
+        if (jnp.issubdtype(x.dtype, jnp.floating)
+                and x.dtype != kernel.dtype):
+            # compute in the PARAM dtype: under --precision bf16 a raw f32
+            # input (Linear node/edge encoders on float features) would
+            # otherwise promote the matmul — and every consumer downstream —
+            # back to f32, silently losing mixed precision for the whole
+            # model (caught on the code2 workload: the entire step ran f32)
+            x = x.astype(kernel.dtype)
         y = x @ kernel
         if self.use_bias:
             bound = 1.0 / float(fan_in) ** 0.5

@@ -91,6 +91,10 @@ def chunked_masked_attention(q, k, v, key_valid, key_chunk: int,
 
 
 _ATTN_BACKEND = "auto"
+# S at which 'auto' leaves the dense XLA path for flash (TPU) / chunked
+# (elsewhere). Module-global so benches can A/B without re-plumbing every
+# model constructor; a module's explicit chunk_threshold field overrides.
+_CHUNK_THRESHOLD = 512
 # test hook: route 'packed_fused' through interpret-mode kernels off-TPU
 _PFUSED_INTERPRET = False
 
@@ -154,7 +158,7 @@ class MultiheadSelfAttention(nn.Module):
     d_model: int
     nhead: int
     dropout: float = 0.0
-    chunk_threshold: int = 512
+    chunk_threshold: int = 0   # 0 = module default _CHUNK_THRESHOLD
     key_chunk: int = 128
 
     @nn.compact
@@ -184,7 +188,7 @@ class MultiheadSelfAttention(nn.Module):
             if on_tpu and backend == "packed_smalls":
                 backend = "smalls"
             elif ((on_tpu or _PFUSED_INTERPRET) and d % 128 == 0
-                  and S <= 128 and backend in ("packed_fused", "auto")):
+                  and S <= 384 and backend in ("packed_fused", "auto")):
                 # 'auto' takes the fused kernel: measured 67.5 ms flagship
                 # step vs 78.1 ms XLA dense-packed (v5e, bs=4096, bf16);
                 # 'packed' stays the XLA arm for A/B comparisons
@@ -196,9 +200,18 @@ class MultiheadSelfAttention(nn.Module):
             # kernel (attention_smallS) measured SLOWER on v5e (hd=32 lane
             # padding quadruples its VMEM traffic; XLA's batched path wins
             # at S~33) — kept as a forceable backend for experimentation
-            if S >= self.chunk_threshold:
-                backend = ("flash" if jax.default_backend() == "tpu"
-                           else "chunked")
+            on_tpu = jax.default_backend() == "tpu"
+            if S >= (self.chunk_threshold or _CHUNK_THRESHOLD):
+                backend = "flash" if on_tpu else "chunked"
+            elif ((on_tpu or _PFUSED_INTERPRET) and d % 128 == 0
+                  and 128 < S <= 384):
+                # medium-S window (code2-shaped batches, S ~ 130-384): the
+                # XLA dense path materializes f32 [B,H,S,S] scores in HBM
+                # (~50 ms/step at bs=512, S=257) while flash at hd=32 pays
+                # a 4x lane-padding tax (374 vs 235 ms measured) — the
+                # heads-in-lanes fused kernel keeps full 128 lanes and
+                # everything VMEM-resident
+                backend = "pfused"
             else:
                 backend = "dense"
         if attn_bias is not None:

@@ -1,0 +1,151 @@
+"""Host-side block-pair planning for the blocked-CSR one-hot SpMM.
+
+The flat segment path's gather (x[src]) and scatter-add (out[dst] +=) both
+lower to per-row serialized XLA ops on TPU — measured as the dominant cost
+of the code2-shaped train step (~60-70 ms of 235 ms at bs=512). The dense
+(strided) layout solves this for SMALL graphs by per-graph one-hot matmuls,
+but its FLOP inflation is the per-graph node count, so medium/large graphs
+(code2 ASTs) need a different decomposition: tile the node axis into
+128-row BLOCKS and group edges by (dst_block, src_block) PAIRS. Within a
+pair, gather and scatter are 128-wide one-hot matmuls (MXU-native, exactly
+the trick proven in ops/pallas/gin_agg.py) regardless of graph size.
+
+This module builds the static per-batch plan on the host (numpy):
+edges are grouped by (major_block, minor_block), split into fixed-size
+chunks of EB slots, and chunk-indexed arrays drive the Pallas kernel's
+scalar-prefetch index maps (ops/pallas/block_spmm.py). Two plans per batch:
+dst-major (forward accumulation + d_emb) and src-major (dx accumulation) —
+the CSR/CSC pair of classical sparse autodiff. Every major block gets at
+least one chunk so the kernel's first-visit zero-init covers blocks with no
+edges.
+
+Plan arrays (C = chunk capacity, EB = edge slots per chunk):
+  blk_out [C] i32   major block (out accumulator index; grouped ascending)
+  blk_in  [C] i32   minor block (the x / cotangent block the chunk reads)
+  is_first [C] i32  1 on the first chunk of each out block (zero-init gate)
+  loc_out [C,EB] i32  row of the edge's endpoint within the major block
+  loc_in  [C,EB] i32  row within the minor block
+  mask    [C,EB] f32  1.0 = real edge slot
+  perm    [C*EB] i64  original edge index per slot (-1 pad) — HOST-ONLY,
+                      used to permute per-edge data into chunk order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+NB = 128   # node rows per block (one MXU tile side)
+EB = 512   # edge slots per chunk
+
+# routing: 'off' by default — MEASURED NEGATIVE at pair-granular chunks
+# (v5e, code2 bench bs=512: 328.9 ms blocked vs 234.4 segment; ~25k grid
+# steps/train step at ~6 us each swamp the MXU win; see CLAUDE.md). 'on'
+# forces it (A/B benches; numerically parity-tested and exact), 'auto'
+# enables on TPU when the batch carries plans. Revisit with multi-src-block
+# chunks (K=512 merged gathers) to cut the step count toward the NB floor.
+_BLOCK_SPMM = "off"
+_BLOCK_SPMM_INTERPRET = False
+
+
+def set_block_spmm(mode: str):
+    global _BLOCK_SPMM
+    assert mode in ("auto", "on", "off"), mode
+    _BLOCK_SPMM = mode
+
+
+def block_spmm_enabled() -> bool:
+    if _BLOCK_SPMM == "off":
+        return False
+    if _BLOCK_SPMM == "on":
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu" or _BLOCK_SPMM_INTERPRET
+
+
+def chunk_capacity(e_cap: int, n_cap: int, pair_slack: int = 4) -> int:
+    """Static chunk count covering any batch under (e_cap, n_cap): one chunk
+    per EB edges, one per node block (zero-init coverage), plus slack for
+    partial chunks at (pair) boundaries."""
+    nb = -(-n_cap // NB)
+    return -(-e_cap // EB) + nb * pair_slack
+
+
+def build_block_plan(src, dst, emask, n_slots: int, chunks_cap: int,
+                     major: str = "dst"):
+    """Build one plan (see module docstring). Returns a dict of numpy
+    arrays, or None if the batch's edge distribution needs more than
+    `chunks_cap` chunks (caller falls back to the segment path)."""
+    assert n_slots % NB == 0, n_slots
+    nb = n_slots // NB
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    e_idx = np.nonzero(np.asarray(emask))[0]
+    ma = (dst if major == "dst" else src)[e_idx]
+    mi = (src if major == "dst" else dst)[e_idx]
+    bo = ma // NB
+    bi = mi // NB
+    order = np.lexsort((bi, bo))
+    e_idx, ma, mi, bo, bi = (a[order] for a in (e_idx, ma, mi, bo, bi))
+
+    # chunk boundaries: new (bo, bi) pair, or EB slots exhausted
+    pair_key = bo.astype(np.int64) * nb + bi
+    chunks = []  # (bo, bi, slice into the sorted edge arrays)
+    start = 0
+    E = len(e_idx)
+    while start < E:
+        end = start
+        key = pair_key[start]
+        while end < E and pair_key[end] == key and end - start < EB:
+            end += 1
+        chunks.append((int(bo[start]), int(bi[start]), start, end))
+        start = end
+    covered = {c[0] for c in chunks}
+    for b in range(nb):
+        if b not in covered:
+            chunks.append((b, 0, 0, 0))  # zero-init-only chunk
+    chunks.sort(key=lambda c: c[0])
+    C = chunks_cap
+    if len(chunks) > C:
+        return None
+
+    blk_out = np.zeros(C, np.int32)
+    blk_in = np.zeros(C, np.int32)
+    is_first = np.zeros(C, np.int32)
+    loc_out = np.zeros((C, EB), np.int32)
+    loc_in = np.zeros((C, EB), np.int32)
+    mask = np.zeros((C, EB), np.float32)
+    perm = np.full(C * EB, -1, np.int64)
+
+    last_bo = -1
+    for c, (co, ci, s, e) in enumerate(chunks):
+        blk_out[c] = co
+        blk_in[c] = ci
+        if co != last_bo:
+            is_first[c] = 1
+            last_bo = co
+        n = e - s
+        if n:
+            loc_out[c, :n] = ma[s:e] - co * NB
+            loc_in[c, :n] = mi[s:e] - ci * NB
+            mask[c, :n] = 1.0
+            perm[c * EB: c * EB + n] = e_idx[s:e]
+    # pad chunks re-visit the LAST real out block (is_first=0, mask=0 —
+    # a masked no-op += that cannot corrupt, and never an uninitialized
+    # first visit)
+    if len(chunks) < C:
+        blk_out[len(chunks):] = blk_out[len(chunks) - 1]
+        blk_in[len(chunks):] = blk_in[len(chunks) - 1]
+    return {
+        "blk_out": blk_out, "blk_in": blk_in, "is_first": is_first,
+        "loc_out": loc_out, "loc_in": loc_in, "mask": mask, "perm": perm,
+    }
+
+
+def permute_edge_data(arr, perm, fill=0):
+    """Per-edge array [E, ...] -> chunk-ordered [C*EB, ...] via plan perm."""
+    arr = np.asarray(arr)
+    out = np.full((len(perm),) + arr.shape[1:], fill, arr.dtype)
+    valid = perm >= 0
+    out[valid] = arr[perm[valid]]
+    return out

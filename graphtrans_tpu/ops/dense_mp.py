@@ -165,7 +165,7 @@ def gather_message_scatter_dense(x, batch, edge_emb, message: str = "relu_add",
     else:
         raise ValueError(message)
     if edge_weight is not None:
-        m = m * edge_weight[..., None]
+        m = m * edge_weight[..., None].astype(m.dtype)
     m = jnp.where(batch.edge_mask_dense[..., None], m, 0)
     out = dense_scatter_sum(m, batch.edge_dst_dense, batch.edge_mask_dense, Sm)
     return out.reshape(G * Sm, d)

@@ -41,9 +41,29 @@ import functools
 import jax
 import jax.numpy as jnp
 
-BT = 8     # batch rows per grid step
-SP = 128   # per-head key block (keys pad S' -> SP so lane slices stay
-           # tile-aligned; padded keys are masked out of the softmax)
+SP_MAX = 384  # largest supported per-head key block (VMEM budget)
+
+
+def _sp(S):
+    """Per-head key block: S padded to the lane-tile multiple so slices at
+    h*sp stay tile-aligned; padded keys are masked out of the softmax."""
+    return -(-S // 128) * 128
+
+
+def _bt(S):
+    """Batch rows per grid step — scaled down as the [BT, S, H*sp] f32
+    score block grows (the f32 backward at sp=384, bt=2 measured 18 MB of
+    scoped VMEM; _cparams raises the limit to 32 MB for sp > 128)."""
+    sp = _sp(S)
+    return 8 if sp <= 128 else (4 if sp <= 256 else 2)
+
+
+def _cparams(S, interpret):
+    if interpret or _sp(S) <= 128:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
 _NEG = -1e30
 
 
@@ -70,12 +90,13 @@ def _tiled_kv(t, nhead, hd, S):
     into astype multiplies (same workaround as ops/pallas/dense_agg.py)."""
     bt = t.shape[0]
     d = t.shape[2]
-    pad = jnp.zeros((bt, SP - S, d), t.dtype)
+    sp = _sp(S)
+    pad = jnp.zeros((bt, sp - S, d), t.dtype)
     tp = jnp.concatenate([t, pad], axis=1)
-    tiled = jnp.concatenate([tp] * nhead, axis=1)          # [BT, H*SP, d]
-    row = jax.lax.broadcasted_iota(jnp.int32, (1, nhead * SP, d), 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nhead * SP, d), 2)
-    return tiled * (row // SP == lane // hd).astype(t.dtype)
+    tiled = jnp.concatenate([tp] * nhead, axis=1)          # [BT, H*sp, d]
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, nhead * sp, d), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nhead * sp, d), 2)
+    return tiled * (row // sp == lane // hd).astype(t.dtype)
 
 
 def _head_masks(valid, S, block, b_total):
@@ -87,13 +108,14 @@ def _head_masks(valid, S, block, b_total):
     from jax.experimental import pallas as pl
 
     bt = valid.shape[0]
+    sp = _sp(S)
     v = valid.astype(jnp.float32)
-    kj = jax.lax.broadcasted_iota(jnp.int32, (1, S, SP), 2)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (1, S, sp), 2)
     m = (kj < S).astype(jnp.float32)
     if block > 0:
-        qi = jax.lax.broadcasted_iota(jnp.int32, (1, S, SP), 1)
+        qi = jax.lax.broadcasted_iota(jnp.int32, (1, S, sp), 1)
         m = m * (qi // block == kj // block).astype(jnp.float32)
-    vpad = jnp.concatenate([v, jnp.zeros((bt, SP - S), jnp.float32)], axis=1)
+    vpad = jnp.concatenate([v, jnp.zeros((bt, sp - S), jnp.float32)], axis=1)
     base = pl.program_id(0) * bt
     bi = jax.lax.broadcasted_iota(jnp.int32, (bt, 1, 1), 0) + base
     ok = (bi < b_total).astype(jnp.float32)
@@ -109,9 +131,10 @@ def _probs_all(q, k2, mask, nhead, hd, rate, training, seed,
     s_full = jax.lax.dot_general(
         q, k2, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=_prec(q.dtype)) * scale
+    sp = k2.shape[1] // nhead
     ps, pds = [], []
     for h in range(nhead):
-        sh = jax.lax.slice_in_dim(s_full, h * SP, (h + 1) * SP, axis=2)
+        sh = jax.lax.slice_in_dim(s_full, h * sp, (h + 1) * sp, axis=2)
         # mask is arithmetic 0/1 f32 (no i1 vectors in Mosaic)
         sh = sh * mask - (1.0 - mask) * (-_NEG)
         m = jnp.max(sh, axis=-1, keepdims=True)
@@ -163,7 +186,8 @@ def _fwd_kernel(seed_ref, qkv_ref, valid_ref, o_ref, *,
     qkv = qkv_ref[...]
     S = qkv.shape[1]
     seed = seed_ref[0] + pl.program_id(0) * nhead
-    mask = _head_masks(valid_ref[...], S, block, b_total)
+    valid = jax.lax.squeeze(valid_ref[...], (1,))
+    mask = _head_masks(valid, S, block, b_total)
     o_ref[...] = attn_fwd_math(qkv, mask, nhead, rate, training, seed,
                                interpret).astype(o_ref.dtype)
 
@@ -172,10 +196,11 @@ def _fold_blocks(t2, nhead, hd, S, out_dtype):
     """Adjoint of _tiled_kv: [BT, H*SP, d] f32 -> [BT, S, d]: sum the nhead
     sublane blocks with each head's lane mask applied."""
     d = t2.shape[2]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, SP, d), 2)
+    sp = t2.shape[1] // nhead
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sp, d), 2)
     acc = None
     for h in range(nhead):
-        blk = jax.lax.slice_in_dim(t2, h * SP, (h + 1) * SP, axis=1)
+        blk = jax.lax.slice_in_dim(t2, h * sp, (h + 1) * sp, axis=1)
         blk = blk * (lane // hd == h).astype(blk.dtype)
         acc = blk if acc is None else acc + blk
     return jax.lax.slice_in_dim(acc, 0, S, axis=1).astype(out_dtype)
@@ -204,10 +229,11 @@ def attn_bwd_math(qkv, mask, g, nhead, rate, training, seed,
         g, v2, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=prec)  # [BT,S,H*SP]
     scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+    sp = k2.shape[1] // nhead
     ds = []
     for h in range(nhead):
-        ph = jax.lax.slice_in_dim(p, h * SP, (h + 1) * SP, axis=2)
-        dph = jax.lax.slice_in_dim(dp, h * SP, (h + 1) * SP, axis=2)
+        ph = jax.lax.slice_in_dim(p, h * sp, (h + 1) * sp, axis=2)
+        dph = jax.lax.slice_in_dim(dp, h * sp, (h + 1) * sp, axis=2)
         if training and rate > 0.0:
             keep = _keep_mask(ph.shape, rate, seed + h, interpret)
             dph = dph * keep * (1.0 / (1.0 - rate))
@@ -237,7 +263,8 @@ def _bwd_kernel(seed_ref, qkv_ref, valid_ref, g_ref,
     qkv = qkv_ref[...]
     S = qkv.shape[1]
     seed = seed_ref[0] + pl.program_id(0) * nhead
-    mask = _head_masks(valid_ref[...], S, block, b_total)
+    valid = jax.lax.squeeze(valid_ref[...], (1,))
+    mask = _head_masks(valid, S, block, b_total)
     dqkv_ref[...] = attn_bwd_math(qkv, mask, g_ref[...], nhead, rate,
                                   training, seed, interpret).astype(
         dqkv_ref.dtype)
@@ -246,6 +273,8 @@ def _bwd_kernel(seed_ref, qkv_ref, valid_ref, g_ref,
 def _specs(S, d):
     from jax.experimental import pallas as pl
 
+    bt = _bt(S)
+
     def blk3(i, *_):
         return (i, 0, 0)
 
@@ -253,9 +282,13 @@ def _specs(S, d):
         return (i, 0)
 
     return {
-        "qkv": pl.BlockSpec((BT, S, 3 * d), blk3),
-        "x": pl.BlockSpec((BT, S, d), blk3),
-        "val": pl.BlockSpec((BT, S), blk2),
+        "qkv": pl.BlockSpec((bt, S, 3 * d), blk3),
+        "x": pl.BlockSpec((bt, S, d), blk3),
+        # valid rides as [B, 1, S]: a (bt, S) 2-D block violates Mosaic's
+        # (8,128) last-two-dims rule once bt < 8 (medium-S shrinks bt);
+        # the unit dim satisfies it for free (same trick as
+        # flash_attention.py)
+        "val": pl.BlockSpec((bt, 1, S), blk3),
     }
 
 
@@ -268,7 +301,7 @@ def attention_packed_qkv(qkv, key_valid, seed, nhead: int, rate: float = 0.0,
     int32 scalar. block > 0 restricts attention to `block`-sized diagonal
     token groups (graph-packed rows). Returns [B, S, d]; the backward emits
     the combined dqkv so no XLA split/concat copies surround the kernel.
-    Requires S <= 128 and d % 128 == 0."""
+    Requires S <= 384 (SP_MAX) and d % 128 == 0."""
     return _call_fwd(qkv, key_valid, seed, nhead, rate, training,
                      interpret, block)
 
@@ -289,7 +322,7 @@ def _call_fwd(qkv, key_valid, seed, nhead, rate, training, interpret,
 
     B, S, d3 = qkv.shape
     d = d3 // 3
-    assert S <= SP and d % 128 == 0 and d % nhead == 0, (S, d, nhead)
+    assert S <= SP_MAX and d % 128 == 0 and d % nhead == 0, (S, d, nhead)
     # ragged grid: the last tile may overrun B — in-kernel range masking
     # keeps OOB garbage inert and Pallas masks the OOB stores, so no HBM
     # pad/slice copies are needed
@@ -301,13 +334,14 @@ def _call_fwd(qkv, key_valid, seed, nhead, rate, training, interpret,
                           interpret=interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(-(-B // BT),),
+            grid=(-(-B // _bt(S)),),
             in_specs=[sp["qkv"], sp["val"]],
             out_specs=sp["x"],
         ),
         out_shape=jax.ShapeDtypeStruct((B, S, d), qkv.dtype),
+        compiler_params=_cparams(S, interpret),
         interpret=interpret,
-    )(seed, qkv, key_valid)
+    )(seed, qkv, key_valid[:, None, :])
 
 
 def _fwd_rule(qkv, key_valid, seed, nhead, rate, training, interpret,
@@ -332,13 +366,14 @@ def _bwd_rule(nhead, rate, training, interpret, block, res, g):
                           interpret=interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(-(-B // BT),),
+            grid=(-(-B // _bt(S)),),
             in_specs=[sp["qkv"], sp["val"], sp["x"]],
             out_specs=sp["qkv"],
         ),
         out_shape=jax.ShapeDtypeStruct((B, S, 3 * d), qkv.dtype),
+        compiler_params=_cparams(S, interpret),
         interpret=interpret,
-    )(seeds, qkv, key_valid, g)
+    )(seeds, qkv, key_valid[:, None, :], g)
     return dqkv, None, None
 
 

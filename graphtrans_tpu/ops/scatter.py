@@ -101,5 +101,5 @@ def gather_message_scatter(
     else:
         raise ValueError(message)
     if edge_weight is not None:
-        m = m * edge_weight[:, None]
+        m = m * edge_weight[:, None].astype(m.dtype)
     return segment.segment_sum(m, edge_dst, num_nodes, mask=edge_mask)

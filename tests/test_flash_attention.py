@@ -387,3 +387,36 @@ def test_packed_layer_dropout_determinism(rng, monkeypatch):
         enc.apply(p, x, validj, True, rngs=rngs)[0] ** 2))(variables)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_packed_fused_medium_S(rng):
+    """The generalized kernel at 128 < S <= 384 (code2-shaped, block=0):
+    per-head key blocks pad S to the lane-tile multiple; outputs and grads
+    match the dense reference."""
+    from graphtrans_tpu.ops.pallas.attention_packed import attention_packed
+
+    B, S, d, H = 5, 257, 128, 4
+    q = jnp.asarray(rng.standard_normal((B, S, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, S, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, S, d)).astype(np.float32))
+    valid = np.ones((B, S), bool)
+    valid[0, 130:] = False
+    valid[2, :] = False
+    vj = jnp.asarray(valid)
+
+    o_ref = _ref_heads_in_lanes(q, k, v, vj, H, 0)
+    o = attention_packed(q, k, v, vj, 0, H, 0.0, False, True, 0)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=1e-5, atol=1e-5)
+    assert np.abs(np.asarray(o)[2]).max() == 0.0
+
+    gr = jax.grad(
+        lambda *a: jnp.sum(_ref_heads_in_lanes(*a, vj, H, 0) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(
+        lambda *a: jnp.sum(
+            attention_packed(*a, vj, 0, H, 0.0, False, True, 0) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5)
