@@ -125,13 +125,10 @@ def build_code2(batch_size=512, emb=300, seed=0, precision="bf16"):
         g = augment_edge(g)
         g["y_arr"] = encode_seq_to_arr(g["y_seq"], vocab2idx, 5)
         graphs.append(g)
-    from graphtrans_tpu.ops import block_plan as bp
-
     caps = dataset_caps(graphs, batch_size)
     batch = collate(graphs, batch_size + 1, caps[0], caps[1],
                     num_tasks=len(vocab2idx), max_seq_len=5,
-                    y_dtype="int32",
-                    bsp_chunks_cap=bp.chunk_capacity(caps[1], caps[0]))
+                    y_dtype="int32", scatter_free=True)
     args = _flagship_args(gnn_type="gcn", gnn_virtual_node=True,
                           gnn_JK="cat", gnn_emb_dim=emb, d_model=128,
                           gnn_dropout=0.0, max_seq_len=5,

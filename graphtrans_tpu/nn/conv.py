@@ -38,6 +38,31 @@ def _bsp_route(batch, message) -> bool:
             and block_plan.block_spmm_enabled())
 
 
+# scatter-free flat aggregation routing: 'auto' = on TPU when the batch
+# carries slot plans (pure XLA — correct everywhere, but the slot-padding
+# inflation only pays off where XLA serializes scatters, i.e. on TPU)
+_SFA = "auto"
+_SFA_FORCE = False  # test hook: route off-TPU too
+
+
+def set_scatter_free(mode: str):
+    global _SFA
+    assert mode in ("auto", "on", "off"), mode
+    _SFA = mode
+
+
+def _sfa_route(batch, message) -> bool:
+    import jax
+
+    if _SFA == "off":
+        return False
+    return (batch.edge_src_dense is None
+            and getattr(batch, "sfa_dst", None) is not None
+            and message in ("relu_add", "add")
+            and (_SFA == "on" or _SFA_FORCE
+                 or jax.default_backend() == "tpu"))
+
+
 def bsp_slot_weight(plan, per_node_vals, major_is_src: bool):
     """Per-edge weight for the blocked kernel from per-node values:
     w_slot = vals[src] * vals[dst], endpoints reconstructed from the plan
@@ -50,7 +75,7 @@ def bsp_slot_weight(plan, per_node_vals, major_is_src: bool):
 
 
 def _aggregate(batch, h, edge_encoder, message="relu_add", edge_weight=None,
-               eps_scale=None, edge_weight_bsp=None):
+               eps_scale=None, edge_weight_bsp=None, edge_weight_sfa=None):
     """Route the gather->message->scatter through the strided one-hot-matmul
     path when the batch carries the dense layout (scatter-free fwd AND bwd,
     ops/dense_mp.py), the blocked-CSR one-hot kernel when it carries block
@@ -72,6 +97,16 @@ def _aggregate(batch, h, edge_encoder, message="relu_add", edge_weight=None,
         edge_emb = edge_encoder(batch.edge_attr_dense).astype(h.dtype)
         return dense_mp.gather_message_scatter_dense(
             h, batch, edge_emb, message=message, edge_weight=edge_weight)
+    if _sfa_route(batch, message):
+        from ..ops.scatter_free import scatterfree_gather_message_scatter
+
+        emb_d = edge_encoder(batch.edge_attr_sfa).astype(h.dtype)
+        emb_s = edge_encoder(batch.edge_attr_sfa_src).astype(h.dtype)
+        wd, ws = (edge_weight_sfa if edge_weight_sfa is not None
+                  else (None, None))
+        return scatterfree_gather_message_scatter(
+            h, emb_d, emb_s, wd, ws, batch.sfa_dst, batch.sfa_src,
+            batch.sfa_nb, message)
     if _bsp_route(batch, message):
         from ..ops.pallas.block_spmm import blocked_gather_message_scatter
 
@@ -134,13 +169,19 @@ class GCNConv(nn.Module):
     def __call__(self, batch, h, training: bool):
         x = TDense(self.emb_dim)(h)
         x = jnp.where(batch.node_mask[:, None], x, 0)
-        norm_bsp = None
+        norm_bsp = norm_sfa = None
         if batch.edge_gcn_norm is not None:
             # node-sharded execution: degrees are a GLOBAL property the
             # local edge shard cannot see — use the host-precomputed
             # normalization (parallel/hybrid.py)
             norm = batch.edge_gcn_norm
             inv_deg = batch.node_gcn_inv_deg[:, None]
+        elif _sfa_route(batch, "relu_add"):
+            # scatter-free route: degree normalization is structural and
+            # rides precomputed per slot order (data/batch.py)
+            norm = None
+            inv_deg = batch.sfa_inv_deg[:, None]
+            norm_sfa = (batch.sfa_gcn_norm_dst, batch.sfa_gcn_norm_src)
         elif batch.edge_src_dense is not None:
             # strided layout: degree is an axis reduction of the src
             # one-hots, and the per-edge norm gathers dis through the same
@@ -165,7 +206,8 @@ class GCNConv(nn.Module):
                 norm_bsp = (bsp_slot_weight(batch.bsp_fwd, dis, False),
                             bsp_slot_weight(batch.bsp_bwd, dis, True))
         agg = _aggregate(batch, x, self.edge_encoder, message="relu_add",
-                         edge_weight=norm, edge_weight_bsp=norm_bsp)
+                         edge_weight=norm, edge_weight_bsp=norm_bsp,
+                         edge_weight_sfa=norm_sfa)
         root_emb = self.param("root_emb", normal(1.0), (self.emb_dim,))
         self_term = nn.relu(x + root_emb) * inv_deg
         out = agg + self_term

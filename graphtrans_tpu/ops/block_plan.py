@@ -149,3 +149,104 @@ def permute_edge_data(arr, perm, fill=0):
     valid = perm >= 0
     out[valid] = arr[perm[valid]]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Scatter-free aggregation plans (ops/scatter_free.py — pure XLA, no Pallas).
+# Profiling showed the flat path's GATHERS are cheap (~0.7 ms at code2 scale,
+# bandwidth-bound) while its SCATTER-ADDS are row-SERIALIZED (~4.5 ms each,
+# dtype-independent) — so only the scatter side needs the one-hot-matmul
+# treatment. Group edges by dst block of NB rows with a fixed per-block slot
+# budget; the scatter becomes ONE batched one-hot matmul over all blocks.
+# The backward's dx scatter uses the src-major twin plus a slot PERMUTATION
+# (a gather) carrying message cotangents between the two orders.
+# ---------------------------------------------------------------------------
+
+
+def sfa_block_rows(n_slots: int) -> int:
+    """Scatter-plan block size: as LARGE as divides the node cap (skew in
+    per-block edge counts shrinks with block size, so bigger blocks waste
+    fewer pad slots; the one-hot matmul work L*nb is invariant in nb)."""
+    for nb in (512, 384, 256, 128):
+        if n_slots % nb == 0:
+            return nb
+    return NB
+
+
+def scatter_slot_budget(major, emask, n_slots: int, nb: int) -> int:
+    """Max edges landing in one nb-row block (bucketed for shape
+    stability)."""
+    from ..data.batch import bucket_size
+
+    m = np.asarray(major)[np.asarray(emask)]
+    if m.size == 0:
+        return 64
+    counts = np.bincount(m // nb, minlength=-(-n_slots // nb))
+    return bucket_size(int(counts.max()), 64)
+
+
+def build_scatter_plan(major, other, emask, n_slots: int, eb: int, nb: int):
+    """Slot assignment for one direction: edges land in their major-index
+    block's next free slot. Returns None if any block overflows `eb`.
+
+    Arrays (NBLK = n_slots/nb, L = NBLK*eb):
+      other_g [L] i32  global index of the edge's OTHER endpoint (gather id)
+      loc     [L] i32  major row within its block (one-hot column)
+      mask    [L] f32  1.0 = real edge
+      perm    [L] i64  original edge index per slot (-1 pad; host-side)
+    """
+    assert n_slots % nb == 0
+    nblk = n_slots // nb
+    major = np.asarray(major)
+    other = np.asarray(other)
+    e_idx = np.nonzero(np.asarray(emask))[0]
+    blk = major[e_idx] // nb
+    order = np.argsort(blk, kind="stable")
+    e_idx = e_idx[order]
+    blk = blk[order]
+    counts = np.bincount(blk, minlength=nblk)
+    if counts.max(initial=0) > eb:
+        return None
+    starts = np.zeros(nblk, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    within = np.arange(len(e_idx)) - starts[blk]
+    slot = blk.astype(np.int64) * eb + within
+    L = nblk * eb
+    other_g = np.zeros(L, np.int32)
+    loc = np.zeros(L, np.int32)
+    mask = np.zeros(L, np.float32)
+    perm = np.full(L, -1, np.int64)
+    other_g[slot] = other[e_idx]
+    loc[slot] = major[e_idx] - blk * nb
+    mask[slot] = 1.0
+    perm[slot] = e_idx
+    return {"other_g": other_g, "loc": loc, "mask": mask, "perm": perm}
+
+
+def scatter_plan_pair(src, dst, emask, n_slots: int, eb: int = None,
+                      nb: int = None):
+    """(dst-major plan, src-major plan with src->dst slot map, nb) or None.
+
+    The slot map carries per-edge values computed in dst-slot order into
+    src-slot order with a device GATHER (the scatter-free backward's
+    re-ordering); pad slots map to slot 0 and are masked. `eb` pins the
+    per-block slot budget dataset-wide (sharded stacking / one compiled
+    shape); None derives it from this batch (bucketed)."""
+    if nb is None:
+        nb = sfa_block_rows(n_slots)
+    if eb is None:
+        eb = max(scatter_slot_budget(dst, emask, n_slots, nb),
+                 scatter_slot_budget(src, emask, n_slots, nb))
+    pd = build_scatter_plan(dst, src, emask, n_slots, eb, nb)
+    ps = build_scatter_plan(src, dst, emask, n_slots, eb, nb)
+    if pd is None or ps is None:
+        return None
+    inv_d = np.zeros(len(np.asarray(emask)), np.int64)
+    valid_d = pd["perm"] >= 0
+    inv_d[pd["perm"][valid_d]] = np.nonzero(valid_d)[0]
+    s2d = np.zeros(len(ps["perm"]), np.int32)
+    valid_s = ps["perm"] >= 0
+    s2d[valid_s] = inv_d[ps["perm"][valid_s]]
+    ps = dict(ps)
+    ps["from_dst_slot"] = s2d
+    return pd, ps, nb

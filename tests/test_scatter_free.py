@@ -1,0 +1,97 @@
+"""Scatter-free flat aggregation (ops/scatter_free.py): pure-XLA parity
+against the segment path — plans, forward, and grads through GIN/GCN."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphtrans_tpu.data.batch import collate
+from graphtrans_tpu.data.loader import dataset_caps
+from graphtrans_tpu.data.synthetic import make_code_dataset
+from graphtrans_tpu.data.vocab import augment_edge
+from graphtrans_tpu.nn import conv as conv_mod
+from graphtrans_tpu.nn.conv import GCNConv, GINConv
+from graphtrans_tpu.nn.encoders import LinearEdgeEncoder
+from graphtrans_tpu.ops import block_plan as bp
+
+
+def _sfa_batch(num_graphs=8, min_nodes=20, max_nodes=120, seed=5):
+    raw = make_code_dataset(num_graphs=num_graphs, min_nodes=min_nodes,
+                            max_nodes=max_nodes, seed=seed)
+    graphs = [augment_edge(g) for g in raw]
+    ncap, ecap = dataset_caps(graphs, num_graphs)
+    return collate(graphs, num_graphs + 1, ncap, ecap, num_tasks=4,
+                   y_dtype="float32", scatter_free=True)
+
+
+def test_scatter_plan_pair_covers_all_edges():
+    batch = _sfa_batch()
+    assert batch.sfa_dst is not None
+    em = np.asarray(batch.edge_mask)
+    nb = batch.sfa_nb
+    nblk = batch.node_graph.shape[0] // nb
+    for major_name, plan, major, other in (
+        ("dst", batch.sfa_dst, batch.edge_dst, batch.edge_src),
+        ("src", batch.sfa_src, batch.edge_src, batch.edge_dst),
+    ):
+        mask = np.asarray(plan["mask"]) > 0
+        assert int(mask.sum()) == int(em.sum())
+        L = mask.shape[0]
+        eb = L // nblk
+        blk = np.arange(L) // eb
+        major_g = (blk * nb + np.asarray(plan["loc"]))[mask]
+        other_g = np.asarray(plan["other_g"])[mask]
+        want = sorted(zip(np.asarray(major)[em].tolist(),
+                          np.asarray(other)[em].tolist()))
+        got = sorted(zip(major_g.tolist(), other_g.tolist()))
+        assert got == want, major_name
+    # host-precomputed GCN norms match the in-jit formula per slot order
+    em_idx = np.nonzero(em)[0]
+    deg = np.bincount(np.asarray(batch.edge_src)[em],
+                      minlength=batch.node_graph.shape[0]) + 1.0
+    dis = deg ** -0.5
+    norm = dis[np.asarray(batch.edge_src)] * dis[np.asarray(batch.edge_dst)]
+    for plan, norms in ((batch.sfa_dst, batch.sfa_gcn_norm_dst),
+                        (batch.sfa_src, batch.sfa_gcn_norm_src)):
+        mask = np.asarray(plan["mask"]) > 0
+        got = np.sort(np.asarray(norms)[mask])
+        want = np.sort(norm[em_idx])
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("conv_kind", ["gin", "gcn"])
+def test_scatter_free_conv_matches_segment_path(rng, conv_kind, monkeypatch):
+    batch = _sfa_batch()
+    d = 128
+    enc = LinearEdgeEncoder(d)
+    conv = (GINConv(emb_dim=d, edge_encoder=enc) if conv_kind == "gin"
+            else GCNConv(emb_dim=d, edge_encoder=enc))
+    h = rng.standard_normal((batch.node_feat.shape[0], d)).astype(np.float32)
+    h[~np.asarray(batch.node_mask)] = 0
+    h = jnp.asarray(h)
+    variables = conv.init(jax.random.key(0), batch, h, False)
+
+    def loss(variables, h, sfa):
+        monkeypatch.setattr(conv_mod, "_SFA_FORCE", sfa)
+        conv_mod.set_scatter_free("on" if sfa else "off")
+        try:
+            out = conv.apply(variables, batch, h, False)
+            return jnp.sum(out ** 2)
+        finally:
+            conv_mod.set_scatter_free("auto")
+
+    l_s, g_s = jax.value_and_grad(loss, argnums=(0, 1))(variables, h, False)
+    l_f, g_f = jax.value_and_grad(loss, argnums=(0, 1))(variables, h, True)
+    np.testing.assert_allclose(float(l_f), float(l_s), rtol=1e-5)
+    flat_s, tree_s = jax.tree_util.tree_flatten(g_s)
+    flat_f, tree_f = jax.tree_util.tree_flatten(g_f)
+    assert tree_s == tree_f
+    for a, b in zip(flat_s, flat_f):
+        # outlier budget: both arms recompute relu'(pre) independently —
+        # pre values within f32 noise of 0 flip between arms (see
+        # test_pallas.test_block_spmm_conv_matches_segment_path)
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(b - a) / (np.abs(a) + 2e-4)
+        assert float((rel > 1e-3).mean()) <= 0.02, float(rel.max())
+        assert float(np.median(rel)) < 1e-5
