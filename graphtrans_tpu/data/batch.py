@@ -311,29 +311,12 @@ def collate(
     # order. A batch whose edge distribution overflows the static cap gets
     # plan=None and falls back to the segment path at runtime.
     # scatter-free slot plans (the production flat-TPU aggregation route)
-    sfa_dst = sfa_src = ea_sfa = ea_sfa_src = None
-    sfa_norm_d = sfa_norm_s = sfa_inv_deg = None
+    sfa = None
     if scatter_free and node_stride == 0 and N % 128 == 0:
         from ..ops import block_plan as _bp
 
-        pair = _bp.scatter_plan_pair(edge_src, edge_dst, edge_mask, N,
-                                     eb=sfa_eb if sfa_eb > 0 else None)
-        if pair is not None:
-            sfa_dst, sfa_src, sfa_nb_val = pair
-            perm_d = sfa_dst.pop("perm")
-            perm_s = sfa_src.pop("perm")
-            sfa_src.pop("from_dst_slot", None)
-            ea_sfa = _bp.permute_edge_data(edge_attr, perm_d)
-            ea_sfa_src = _bp.permute_edge_data(edge_attr, perm_s)
-            # GCN degree normalization is structural — precompute per slot
-            # order (reference deg semantics: out_degree(src)+1 over valid
-            # edges, /root/reference/modules/conv.py:57)
-            deg = np.bincount(edge_src[edge_mask], minlength=N) + 1.0
-            dis = deg ** -0.5
-            norm = (dis[edge_src] * dis[edge_dst]).astype(np.float32)
-            sfa_norm_d = _bp.permute_edge_data(norm, perm_d)
-            sfa_norm_s = _bp.permute_edge_data(norm, perm_s)
-            sfa_inv_deg = (1.0 / deg).astype(np.float32)
+        sfa = _bp.build_sfa_fields(edge_src, edge_dst, edge_mask, edge_attr,
+                                   N, eb=sfa_eb if sfa_eb > 0 else None)
 
     bsp_fwd = bsp_bwd = ea_bsp_fwd = ea_bsp_bwd = None
     if bsp_chunks_cap > 0 and node_stride == 0 and N % 128 == 0:
@@ -392,14 +375,7 @@ def collate(
         bsp_bwd=bsp_bwd,
         edge_attr_bsp_fwd=ea_bsp_fwd,
         edge_attr_bsp_bwd=ea_bsp_bwd,
-        sfa_dst=sfa_dst,
-        sfa_src=sfa_src,
-        edge_attr_sfa=ea_sfa,
-        edge_attr_sfa_src=ea_sfa_src,
-        sfa_gcn_norm_dst=sfa_norm_d,
-        sfa_gcn_norm_src=sfa_norm_s,
-        sfa_inv_deg=sfa_inv_deg,
-        sfa_nb=sfa_nb_val if sfa_dst is not None else 0,
+        **(sfa or {}),
         max_nodes_dense=S,
         node_stride=node_stride,
     )

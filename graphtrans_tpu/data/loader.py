@@ -48,6 +48,7 @@ class GraphLoader:
         hybrid_shards: int = 0,
         dense_layout: bool = False,
         dense_caps: Optional[tuple] = None,
+        scatter_free: bool = False,
     ):
         self.collate_workers = collate_workers
         # intra-batch parallelism INSIDE the native collate call (the call
@@ -63,6 +64,15 @@ class GraphLoader:
         # hybrid node-sharded mode: each batch is halo-partitioned into
         # per-chip local views (parallel/hybrid.py)
         self.hybrid_shards = hybrid_shards
+        # scatter-free flat aggregation (ops/scatter_free.py): attach slot
+        # plans to every batch. Gated off under shard stacking / hybrid
+        # partitioning (plans would need identical slot budgets across
+        # shards) and under the dense layout (which has its own
+        # scatter-free formulation). The per-batch slot budget is bucketed
+        # (64-multiples), so an epoch sees at most a couple of compiled
+        # shapes.
+        self.scatter_free = (scatter_free and not dense_layout
+                             and num_shards == 1 and hybrid_shards <= 1)
         self.graphs = [dict(g, _id=i) for i, g in enumerate(graphs)]
         # size table for the vectorized planning pass (numpy cumsum per
         # batch instead of a Python loop over every graph every epoch)
@@ -186,12 +196,26 @@ class GraphLoader:
             i += k
         return plans
 
+    def _attach_sfa(self, batch):
+        if not self.scatter_free or batch is None:
+            return batch
+        import dataclasses
+
+        from ..ops.block_plan import build_sfa_fields
+
+        fields = build_sfa_fields(batch.edge_src, batch.edge_dst,
+                                  batch.edge_mask, batch.edge_attr,
+                                  batch.num_node_slots)
+        if fields is None:
+            return batch
+        return dataclasses.replace(batch, **fields)
+
     def _collate_kept(self, plan):
         if self.packed is not None:
             batch = self._native_collate(plan)
             if batch is not None:
-                return batch
-        return collate(
+                return self._attach_sfa(batch)
+        return self._attach_sfa(collate(
             [self.graphs[i] for i in plan],
             num_graphs_cap=self.batch_size + 1,
             num_nodes_cap=self.node_cap,
@@ -204,7 +228,7 @@ class GraphLoader:
             dense_cap=self.dense_cap,
             node_stride=self.node_stride,
             dense_edge_cap=self.dense_edge_cap,
-        )
+        ))
 
     def _native_collate(self, plan):
         from . import native

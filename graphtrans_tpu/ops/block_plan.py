@@ -250,3 +250,35 @@ def scatter_plan_pair(src, dst, emask, n_slots: int, eb: int = None,
     ps = dict(ps)
     ps["from_dst_slot"] = s2d
     return pd, ps, nb
+
+
+def build_sfa_fields(edge_src, edge_dst, edge_mask, edge_attr, n_slots: int,
+                     eb: int = None):
+    """Everything a GraphBatch needs for the scatter-free route
+    (ops/scatter_free.py), or None if a block overflows `eb`: slot plans
+    for both orders, slot-ordered edge_attr copies, and the host-computed
+    GCN degree normalization (structural — reference deg semantics
+    out_degree(src)+1 over valid edges, /root/reference/modules/conv.py:57).
+    Shared by data/batch.collate and the loader's native-collation path."""
+    pair = scatter_plan_pair(edge_src, edge_dst, edge_mask, n_slots, eb=eb)
+    if pair is None:
+        return None
+    sfa_dst, sfa_src, nb = pair
+    perm_d = sfa_dst.pop("perm")
+    perm_s = sfa_src.pop("perm")
+    sfa_src.pop("from_dst_slot", None)
+    deg = np.bincount(np.asarray(edge_src)[np.asarray(edge_mask)],
+                      minlength=n_slots) + 1.0
+    dis = deg ** -0.5
+    norm = (dis[np.asarray(edge_src)]
+            * dis[np.asarray(edge_dst)]).astype(np.float32)
+    return {
+        "sfa_dst": sfa_dst,
+        "sfa_src": sfa_src,
+        "edge_attr_sfa": permute_edge_data(edge_attr, perm_d),
+        "edge_attr_sfa_src": permute_edge_data(edge_attr, perm_s),
+        "sfa_gcn_norm_dst": permute_edge_data(norm, perm_d),
+        "sfa_gcn_norm_src": permute_edge_data(norm, perm_s),
+        "sfa_inv_deg": (1.0 / deg).astype(np.float32),
+        "sfa_nb": nb,
+    }

@@ -95,3 +95,23 @@ def test_scatter_free_conv_matches_segment_path(rng, conv_kind, monkeypatch):
         rel = np.abs(b - a) / (np.abs(a) + 2e-4)
         assert float((rel > 1e-3).mean()) <= 0.02, float(rel.max())
         assert float(np.median(rel)) < 1e-5
+
+
+def test_loader_attaches_sfa_plans():
+    """GraphLoader(scatter_free=True) ships slot plans on every flat batch;
+    sharded/hybrid/dense loaders gate them off."""
+    from graphtrans_tpu.data.loader import GraphLoader
+
+    raw = make_code_dataset(num_graphs=24, min_nodes=20, max_nodes=80, seed=3)
+    graphs = [augment_edge(g) for g in raw]
+    ld = GraphLoader(graphs, batch_size=8, num_tasks=4, y_dtype="float32",
+                     scatter_free=True)
+    batches = list(ld)
+    assert batches and all(b.sfa_dst is not None for b in batches)
+    for b in batches:
+        assert int((np.asarray(b.sfa_dst["mask"]) > 0).sum()) == int(
+            np.asarray(b.edge_mask).sum())
+        assert b.sfa_nb > 0 and b.node_graph.shape[0] % b.sfa_nb == 0
+    ld2 = GraphLoader(graphs, batch_size=8, num_tasks=4, y_dtype="float32",
+                      scatter_free=True, num_shards=2)
+    assert not ld2.scatter_free
