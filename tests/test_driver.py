@@ -210,3 +210,35 @@ def test_driver_flag_with_dense_layout(tmp_path):
         "--gnn_type", "gin", "--graph_pooling", "cls", "--aug", "flag",
         "-m", "2", "--dense_layout", "on"] + SMALL)
     assert 0.0 <= val <= 1.0
+
+
+def test_predict_writes_jsonl(tmp_path):
+    """predict.py (the serving entry point the reference never had): train
+    a tiny run, then batch-infer the test split from the best checkpoint
+    and check the JSONL records."""
+    import glob
+
+    import predict as infer
+
+    common = ["--dataset", "ogbg-molpcba", "--model_type", "gnn-transformer",
+              "--gnn_type", "gin", "--graph_pooling", "cls"] + SMALL
+    run_main(tmp_path, common)
+    ckpts = glob.glob(str(tmp_path / "exps" / "*" / "0" / "best_model.ckpt"))
+    assert ckpts, "training left no best checkpoint"
+
+    out = tmp_path / "preds.jsonl"
+    old = sys.argv
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        sys.argv = (["predict.py"] + common
+                    + ["--checkpoint", ckpts[0], "--split", "test",
+                       "--out", str(out)])
+        infer.main()
+    finally:
+        sys.argv = old
+        os.chdir(cwd)
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    assert recs and all("logits" in r and r["graph_id"] >= 0 for r in recs)
+    # one logit vector per task (8 tasks in the synthetic molpcba fallback)
+    assert len(recs[0]["logits"]) == 8
