@@ -96,6 +96,9 @@ class GraphBatch:
     sfa_gcn_norm_dst: Any = None   # [L] f32
     sfa_gcn_norm_src: Any = None   # [L] f32
     sfa_inv_deg: Any = None        # [N] f32 1/(out_degree+1)
+    # graph-major slot plan for scatter-free per-graph sums (VN pooling /
+    # flat readouts — ops/scatter_free.graph_sum_sfa)
+    sfa_pool: Any = None
 
     # --- static metadata (aux_data, not traced) ---
     max_nodes_dense: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -316,7 +319,9 @@ def collate(
         from ..ops import block_plan as _bp
 
         sfa = _bp.build_sfa_fields(edge_src, edge_dst, edge_mask, edge_attr,
-                                   N, eb=sfa_eb if sfa_eb > 0 else None)
+                                   N, eb=sfa_eb if sfa_eb > 0 else None,
+                                   node_graph=node_graph,
+                                   node_mask=node_mask, num_graphs=G)
 
     bsp_fwd = bsp_bwd = ea_bsp_fwd = ea_bsp_bwd = None
     if bsp_chunks_cap > 0 and node_stride == 0 and N % 128 == 0:

@@ -205,7 +205,10 @@ class GraphLoader:
 
         fields = build_sfa_fields(batch.edge_src, batch.edge_dst,
                                   batch.edge_mask, batch.edge_attr,
-                                  batch.num_node_slots)
+                                  batch.num_node_slots,
+                                  node_graph=batch.node_graph,
+                                  node_mask=batch.node_mask,
+                                  num_graphs=batch.num_graph_slots)
         if fields is None:
             return batch
         return dataclasses.replace(batch, **fields)

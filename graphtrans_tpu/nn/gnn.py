@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.segment import segment_sum
-from .conv import GCNConv, GINConv
+from .conv import GCNConv, GINConv, _sfa_route
 from .init import TDense
 from .dropout import ByteDropout
 from .norm import MaskedBatchNorm
@@ -154,6 +154,16 @@ class GNNNodeEmbedding(nn.Module):
                     from ..ops.dense_mp import graph_sum
 
                     pooled = graph_sum(h_list[layer], batch)
+                elif (getattr(batch, "sfa_pool", None) is not None
+                      and _sfa_route(batch, "add")):
+                    # scatter-free per-graph sum (the forward segment-sum
+                    # scatter is row-serialized on TPU; the backward is a
+                    # broadcast gather either way)
+                    from ..ops.scatter_free import graph_sum_sfa
+
+                    pooled = graph_sum_sfa(
+                        h_list[layer], batch.node_graph, batch.node_mask,
+                        batch.sfa_pool, num_graphs)
                 else:
                     pooled = segment_sum(
                         h_list[layer], batch.node_graph, num_graphs,

@@ -252,8 +252,27 @@ def scatter_plan_pair(src, dst, emask, n_slots: int, eb: int = None,
     return pd, ps, nb
 
 
+POOL_NB = 64  # graphs per pooling block
+
+
+def build_pool_plan(node_graph, node_mask, num_graphs: int):
+    """Graph-major slot plan for scatter-free per-graph sums
+    (ops/scatter_free.graph_sum_sfa): nodes land in their graph's block
+    slots; the forward per-graph sum is one batched one-hot matmul, the
+    backward is the usual broadcast gather. Returns (plan, g_pad)."""
+    g_pad = -(-max(num_graphs, 1) // POOL_NB) * POOL_NB
+    node_idx = np.arange(len(np.asarray(node_graph)), dtype=np.int64)
+    eb = scatter_slot_budget(node_graph, node_mask, g_pad, POOL_NB)
+    plan = build_scatter_plan(np.asarray(node_graph), node_idx,
+                              np.asarray(node_mask), g_pad, eb, POOL_NB)
+    if plan is not None:
+        plan.pop("perm")
+    return plan, g_pad
+
+
 def build_sfa_fields(edge_src, edge_dst, edge_mask, edge_attr, n_slots: int,
-                     eb: int = None):
+                     eb: int = None, node_graph=None, node_mask=None,
+                     num_graphs: int = 0):
     """Everything a GraphBatch needs for the scatter-free route
     (ops/scatter_free.py), or None if a block overflows `eb`: slot plans
     for both orders, slot-ordered edge_attr copies, and the host-computed
@@ -272,7 +291,7 @@ def build_sfa_fields(edge_src, edge_dst, edge_mask, edge_attr, n_slots: int,
     dis = deg ** -0.5
     norm = (dis[np.asarray(edge_src)]
             * dis[np.asarray(edge_dst)]).astype(np.float32)
-    return {
+    fields = {
         "sfa_dst": sfa_dst,
         "sfa_src": sfa_src,
         "edge_attr_sfa": permute_edge_data(edge_attr, perm_d),
@@ -282,3 +301,8 @@ def build_sfa_fields(edge_src, edge_dst, edge_mask, edge_attr, n_slots: int,
         "sfa_inv_deg": (1.0 / deg).astype(np.float32),
         "sfa_nb": nb,
     }
+    if node_graph is not None and num_graphs > 0:
+        pool, _ = build_pool_plan(node_graph, node_mask, num_graphs)
+        if pool is not None:
+            fields["sfa_pool"] = pool
+    return fields

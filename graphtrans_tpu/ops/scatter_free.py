@@ -155,3 +155,44 @@ def _bwd_rule(nb, message, res, g):
 
 
 scatterfree_gather_message_scatter.defvjp(_fwd_rule, _bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def graph_sum_sfa(h, node_graph, node_mask, plan, num_graphs: int):
+    """Per-graph sum of node rows [N, d] -> [G, d] without the forward
+    segment-sum's serialized scatter: nodes ride the graph-major slot plan
+    (ops/block_plan.build_pool_plan) and the sum is one batched one-hot
+    matmul. The backward is the ordinary broadcast gather g[node_graph]
+    (the cheap direction). Replaces global_add_pool's torch-scatter role
+    (/root/reference/modules/gnn_module.py:217-229 VN update pooling)."""
+    return _gs_fwd(h, node_graph, node_mask, plan, num_graphs)[0]
+
+
+def _gs_fwd(h, node_graph, node_mask, plan, num_graphs):
+    from .block_plan import POOL_NB
+
+    d = h.shape[1]
+    L = plan["mask"].shape[0]
+    g_pad = -(-num_graphs // POOL_NB) * POOL_NB
+    nblk = g_pad // POOL_NB
+    eb = L // nblk
+    rows = jnp.take(h, plan["other_g"], axis=0)
+    rows = rows * plan["mask"][:, None].astype(h.dtype)
+    oh = _one_hot_blocks(plan["loc"], nblk, eb, POOL_NB, h.dtype)
+    out = _block_matmul(oh, rows, nblk, eb, POOL_NB, d, h.dtype)
+    return out[:num_graphs], (node_graph, node_mask)
+
+
+def _gs_fwd_rule(h, node_graph, node_mask, plan, num_graphs):
+    out, res = _gs_fwd(h, node_graph, node_mask, plan, num_graphs)
+    return out, res
+
+
+def _gs_bwd_rule(num_graphs, res, g):
+    node_graph, node_mask = res
+    dh = jnp.take(g, node_graph, axis=0)
+    dh = jnp.where(node_mask[:, None], dh, 0)
+    return dh, None, None, None
+
+
+graph_sum_sfa.defvjp(_gs_fwd_rule, _gs_bwd_rule)

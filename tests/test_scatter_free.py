@@ -115,3 +115,33 @@ def test_loader_attaches_sfa_plans():
     ld2 = GraphLoader(graphs, batch_size=8, num_tasks=4, y_dtype="float32",
                       scatter_free=True, num_shards=2)
     assert not ld2.scatter_free
+
+
+def test_graph_sum_sfa_matches_segment(rng, monkeypatch):
+    """Scatter-free per-graph sum: forward equals the masked segment sum,
+    backward equals the broadcast gather — through the GIN-virtual stack."""
+    import jax
+
+    from graphtrans_tpu.ops.scatter_free import graph_sum_sfa
+    from graphtrans_tpu.ops.segment import segment_sum
+
+    batch = _sfa_batch()
+    assert batch.sfa_pool is not None
+    d = 64
+    h = jnp.asarray(
+        rng.standard_normal((batch.node_feat.shape[0], d)).astype(np.float32))
+    h = jnp.where(jnp.asarray(batch.node_mask)[:, None], h, 0)
+    G = batch.num_graph_slots
+
+    ref = segment_sum(h, batch.node_graph, G, mask=batch.node_mask)
+    got = graph_sum_sfa(h, batch.node_graph, batch.node_mask,
+                        batch.sfa_pool, G)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    g_ref = jax.grad(lambda t: jnp.sum(
+        segment_sum(t, batch.node_graph, G, mask=batch.node_mask) ** 2))(h)
+    g_got = jax.grad(lambda t: jnp.sum(graph_sum_sfa(
+        t, batch.node_graph, batch.node_mask, batch.sfa_pool, G) ** 2))(h)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)

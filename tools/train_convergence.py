@@ -8,7 +8,10 @@ the full fused path is the smoke test that the kernels' gradients are
 wired right at production scale — the quality-parity story vs the
 reference lives in tests/ (torch weight-copy parity) and main.py runs.
 
-Usage: python tools/train_convergence.py [epochs] [batch_size]
+Usage: python tools/train_convergence.py [epochs] [batch_size] [workload]
+(workload: mol | code2 — code2 runs the GCN-virtual seq-head flagship on
+the flat scatter-free path; measured trajectories: mol loss 0.705 -> 0.527
+over 8 epochs at bs=4096, code2 loss 2.64 -> 2.22 over 10 at bs=512.)
 """
 
 from __future__ import annotations
@@ -24,6 +27,7 @@ import jax
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     bs = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    workload = sys.argv[3] if len(sys.argv) > 3 else "mol"
 
     from graphtrans_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -31,14 +35,15 @@ def main():
 
     import bench
 
+    build = bench.build if workload == "mol" else bench.build_code2
+    if workload == "code2" and bs == 4096:
+        bs = 512
     n_batches = 4
-    states = []
-    state, step, batch0 = bench.build(batch_size=bs, seed=0, precision="bf16")
+    state, step, batch0 = build(batch_size=bs, seed=0, precision="bf16")
     batches = [jax.device_put(batch0)]
     for i in range(1, n_batches):
-        _, _, b = bench.build(batch_size=bs, seed=i, precision="bf16")
+        _, _, b = build(batch_size=bs, seed=i, precision="bf16")
         batches.append(jax.device_put(b))
-    del states
 
     rng = jax.random.key(42)
     for epoch in range(epochs):
