@@ -92,7 +92,8 @@ def build(batch_size=256, nodes_per=26, emb=256, seed=0, precision="f32",
     return state, step, batch
 
 
-def build_code2(batch_size=512, emb=300, seed=0, precision="bf16"):
+def build_code2(batch_size=512, emb=300, seed=0, precision="bf16",
+                model="gnn-transformer"):
     """The OTHER headline workload: ogbg-code2-shaped ASTs (~50-250 nodes,
     augmented AST/inverse/next-token edges with 2-dim attrs) through the
     code2 flagship config (GCN-virtual JK=cat emb 300 -> norm_input CLS
@@ -129,16 +130,29 @@ def build_code2(batch_size=512, emb=300, seed=0, precision="bf16"):
     batch = collate(graphs, batch_size + 1, caps[0], caps[1],
                     num_tasks=len(vocab2idx), max_seq_len=5,
                     y_dtype="int32", scatter_free=True)
-    args = _flagship_args(gnn_type="gcn", gnn_virtual_node=True,
-                          gnn_JK="cat", gnn_emb_dim=emb, d_model=128,
+    deg = None
+    if model == "pna-transformer":
+        # reference PNA code2 config (configs/code2/pna-transformer/
+        # pooling=cls+norm_input.yml): emb 272, no dropout, degree histogram
+        from graphtrans_tpu.data.code import degree_histogram
+
+        emb = 272
+        deg = degree_histogram(graphs, bins=800)
+    args = _flagship_args(gnn_type="gcn" if model == "gnn-transformer"
+                          else "pna",
+                          gnn_virtual_node=(model == "gnn-transformer"),
+                          gnn_JK="cat" if model == "gnn-transformer"
+                          else "last",
+                          gnn_residual=(model == "pna-transformer"),
+                          gnn_emb_dim=emb, d_model=128,
                           gnn_dropout=0.0, max_seq_len=5,
                           transformer_norm_input=True)
     args.precision = precision
-    model = MODELS["gnn-transformer"].build(
+    model = MODELS[model].build(
         len(vocab2idx), args,
         ASTNodeEncoder(emb, num_nodetypes=20, num_nodeattributes=100,
                        max_depth=20),
-        lambda e: LinearEdgeEncoder(e))
+        lambda e: LinearEdgeEncoder(e), deg=deg)
     variables = jax.jit(lambda r, b: model.init(r, b, None, False))(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch,
     )
@@ -234,18 +248,21 @@ def main():
                         "bf16 systolic peak; XLA executes f32 matmuls as "
                         "single-pass bf16 MXU ops here)")
     p.add_argument("--workload", type=str, default="mol",
-                   choices=["mol", "code2"],
+                   choices=["mol", "code2", "code2_pna"],
                    help="mol = molpcba-like flagship on the dense layout "
                         "(the headline); code2 = AST-shaped GCN-virtual "
-                        "seq-head flagship on the flat segment path")
+                        "seq-head flagship on the flat scatter-free path; "
+                        "code2_pna = the PNA-transformer variant (emb 272)")
     args = p.parse_args()
 
     jax.config.update("jax_default_prng_impl", args.prng)
 
-    if args.workload == "code2":
+    if args.workload in ("code2", "code2_pna"):
         bs = args.batch_size if args.batch_size != 4096 else 512
-        state, step, batch = build_code2(batch_size=bs,
-                                         precision=args.precision)
+        state, step, batch = build_code2(
+            batch_size=bs, precision=args.precision,
+            model="pna-transformer" if args.workload == "code2_pna"
+            else "gnn-transformer")
         rng = jax.random.key(0)
         edges = int(np.asarray(batch.edge_mask).sum())
         batch = jax.device_put(batch)
@@ -256,7 +273,7 @@ def main():
             "unit": "edges/s",
             "vs_baseline": None,
             "detail": {
-                "workload": "code2", "layout": "flat",
+                "workload": args.workload, "layout": "flat",
                 "precision": args.precision, "prng": args.prng,
                 "batch_size": bs, "edges": edges,
                 "step_ms": round(dt * 1e3, 2),

@@ -99,11 +99,16 @@ class GraphBatch:
     # graph-major slot plan for scatter-free per-graph sums (VN pooling /
     # flat readouts — ops/scatter_free.graph_sum_sfa)
     sfa_pool: Any = None
+    # ELL neighbor-slot plans (segment min/max for PNA — ops/ell.py)
+    ell_dst: Any = None
+    ell_src: Any = None
 
     # --- static metadata (aux_data, not traced) ---
     max_nodes_dense: int = dataclasses.field(default=0, metadata=dict(static=True))
     node_stride: int = dataclasses.field(default=0, metadata=dict(static=True))
     sfa_nb: int = dataclasses.field(default=0, metadata=dict(static=True))
+    ell_k_in: int = dataclasses.field(default=0, metadata=dict(static=True))
+    ell_k_out: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def num_node_slots(self) -> int:

@@ -74,51 +74,107 @@ class PNAConv(nn.Module):
         A, S = len(self.aggregators), len(self.scalers)
 
         from ..ops.scatter import maybe_halo_extend
+        from .conv import _sfa_route
 
         xt = x.reshape(N, T, Ft)
-        # destination rows are always chip-local (dst-owned edge layout);
-        # source rows may live on a peer under node sharding
-        xt_ext = maybe_halo_extend(x).reshape(-1, T, Ft)
-        x_i = xt[batch.edge_dst]      # [E, T, Ft] (destination / center)
-        x_j = xt_ext[batch.edge_src]  # [E, T, Ft] (source / neighbor)
-        h = jnp.concatenate([x_i, x_j], axis=-1)  # [E, T, 2Ft]
-
         w_pre = self.param("pre_w", _tower_linear_init(2 * Ft), (T, 2 * Ft, Ft))
         b_pre = self.param("pre_b", _tower_linear_init(2 * Ft), (T, Ft))
-        msg = jnp.einsum("etf,tfo->eto", h, w_pre) + b_pre  # [E, T, Ft]
 
-        aggs = segment_multi_aggregate(
-            msg.reshape(-1, T * Ft), batch.edge_dst, N, mask=batch.edge_mask
-        )
-        stacked = []
-        deg = jnp.maximum(in_degree(batch.edge_dst, N, batch.edge_mask), 1.0)
-        log_deg = jnp.log(deg + 1.0)
+        use_ell = (getattr(batch, "ell_dst", None) is not None
+                   and _sfa_route(batch, "add"))
+        if use_ell:
+            # Scatter-free PNA aggregation: the pre-linear message is LINEAR
+            # in (x_i, x_j) — msg = xiproj[dst] + xjproj[src] with the tower
+            # weight split at the concat boundary. Then sum/mean are
+            # scatter-free segment sums of the NODE-level xjproj,
+            # var(xiproj + xjproj[src]) = var(xjproj[src]) (std from the
+            # sums of xjproj and xjproj^2), and max/min = xiproj +
+            # ELL-layout K-axis reductions (ops/ell.py). Every [E, C]
+            # message tensor and every serialized segment scatter (measured
+            # 16 ms EACH for min/max at code2 scale) disappears.
+            from ..ops.ell import ell_minmax
+            from ..ops.scatter_free import scatterfree_gather_message_scatter
+
+            C = T * Ft
+            xiproj = (jnp.einsum("ntf,tfo->nto", xt, w_pre[:, :Ft])
+                      + b_pre).reshape(N, C)
+            xjproj = jnp.einsum("ntf,tfo->nto", xt,
+                                w_pre[:, Ft:]).reshape(N, C)
+
+            def ssum(v):
+                return scatterfree_gather_message_scatter(
+                    v, None, None, None, None, batch.sfa_dst, batch.sfa_src,
+                    batch.sfa_nb, "copy")
+
+            deg_raw = batch.ell_dst["mask"].reshape(N, -1).sum(axis=1)
+            deg_safe = jnp.maximum(deg_raw, 1.0)[:, None].astype(x.dtype)
+            has = (deg_raw > 0)[:, None]
+            s1 = ssum(xjproj)
+            mean_b = s1 / deg_safe
+            aggs = {}
+            if "sum" in self.aggregators:
+                aggs["sum"] = deg_raw[:, None].astype(x.dtype) * xiproj + s1
+            if "mean" in self.aggregators:
+                aggs["mean"] = jnp.where(has, xiproj + mean_b, 0)
+            if "std" in self.aggregators:
+                s2 = ssum((xjproj * xjproj).astype(x.dtype))
+                var = jax.nn.relu(s2 / deg_safe - mean_b * mean_b)
+                aggs["std"] = jnp.sqrt(var + 1e-5)
+            if "max" in self.aggregators or "min" in self.aggregators:
+                mxb, mnb = ell_minmax(xjproj, batch.ell_dst, batch.ell_src,
+                                      batch.ell_k_in, batch.ell_k_out)
+                aggs["max"] = jnp.where(has, xiproj + mxb, 0)
+                aggs["min"] = jnp.where(has, xiproj + mnb, 0)
+            stacked = []
+            deg = jnp.maximum(deg_raw, 1.0)
+        else:
+            # destination rows are always chip-local (dst-owned edge
+            # layout); source rows may live on a peer under node sharding
+            xt_ext = maybe_halo_extend(x).reshape(-1, T, Ft)
+            x_i = xt[batch.edge_dst]      # [E, T, Ft] (destination / center)
+            x_j = xt_ext[batch.edge_src]  # [E, T, Ft] (source / neighbor)
+            h = jnp.concatenate([x_i, x_j], axis=-1)  # [E, T, 2Ft]
+
+            msg = jnp.einsum("etf,tfo->eto", h, w_pre) + b_pre  # [E, T, Ft]
+
+            aggs = segment_multi_aggregate(
+                msg.reshape(-1, T * Ft), batch.edge_dst, N, mask=batch.edge_mask
+            )
+            stacked = []
+            deg = jnp.maximum(in_degree(batch.edge_dst, N, batch.edge_mask), 1.0)
+        # scalers multiply the aggregated features — compute the degree
+        # factors in f32 for accuracy but CAST to the compute dtype before
+        # the multiply (an f32 factor would promote the whole downstream
+        # model back to f32 under --precision bf16)
+        deg = deg.astype(x.dtype)
+        log_deg = jnp.log(deg + 1.0).astype(x.dtype)
         for agg_name in self.aggregators:
-            if agg_name == "sum":
+            if agg_name == "sum" and agg_name not in aggs:
                 a = segment_sum(msg.reshape(-1, T * Ft), batch.edge_dst, N, mask=batch.edge_mask)
             else:
                 a = aggs[agg_name]
-            stacked.append(a)
-        out = jnp.concatenate(stacked, axis=-1)  # [N, A*T*Ft]
+            # keep the tower axis explicit: concatenating at [N, T, Ft]
+            # granularity lands directly in the post-linear's (s, a, ft)
+            # per-tower layout — the old [N, S*A, T, Ft] transpose was a
+            # ~2.6 ms layout copy per layer at code2 scale
+            stacked.append(a.reshape(N, T, Ft))
+        out3 = jnp.concatenate(stacked, axis=-1)  # [N, T, A*Ft]
 
         scaled = []
         for sc in self.scalers:
             if sc == "identity":
-                scaled.append(out)
+                scaled.append(out3)
             elif sc == "amplification":
-                scaled.append(out * (log_deg / self.avg_deg_log)[:, None])
+                scaled.append(out3 * (log_deg / self.avg_deg_log)[:, None, None])
             elif sc == "attenuation":
-                scaled.append(out * (self.avg_deg_log / log_deg)[:, None])
+                scaled.append(out3 * (self.avg_deg_log / log_deg)[:, None, None])
             elif sc == "linear":
-                scaled.append(out * (deg / self.avg_deg_lin)[:, None])
+                scaled.append(out3 * (deg / self.avg_deg_lin)[:, None, None])
             elif sc == "inverse_linear":
-                scaled.append(out * (self.avg_deg_lin / deg)[:, None])
+                scaled.append(out3 * (self.avg_deg_lin / deg)[:, None, None])
             else:
                 raise ValueError(sc)
-        out = jnp.concatenate(scaled, axis=-1)  # [N, S*A*T*Ft]
-
-        # regroup to [N, T, (1 + S*A) * Ft] with x_i prepended per tower
-        out = out.reshape(N, S * A, T, Ft).transpose(0, 2, 1, 3).reshape(N, T, S * A * Ft)
+        out = jnp.concatenate(scaled, axis=-1)  # [N, T, S*A*Ft] (s, a, ft)
         out = jnp.concatenate([xt, out], axis=-1)
         fan = (1 + S * A) * Ft
         w_post = self.param("post_w", _tower_linear_init(fan), (T, fan, Ft))

@@ -253,6 +253,31 @@ def scatter_plan_pair(src, dst, emask, n_slots: int, eb: int = None,
 
 
 POOL_NB = 64  # graphs per pooling block
+ELL_K_CAP = 128  # max neighbor slots per node (fallback beyond)
+
+
+def build_ell_plan(major, other, emask, n_rows: int, k: int = None):
+    """ELLPACK neighbor slots: row r's incident edges land at slots
+    [r*K, r*K + deg(r)). With messages in this layout every segment
+    reduction (sum/mean/min/max/std — PNA's whole aggregator zoo) is a
+    plain K-axis reduction: no scatter in either direction, and min/max —
+    which no one-hot matmul can express — come for free. Returns
+    ({other_g [n_rows*K] i32, mask [n_rows*K] f32, perm}, K) or None when
+    the max degree exceeds ELL_K_CAP (segment fallback)."""
+    from ..data.batch import bucket_size
+
+    major = np.asarray(major)
+    emask = np.asarray(emask)
+    deg = np.bincount(major[emask], minlength=n_rows)
+    if k is None:
+        k = bucket_size(max(int(deg.max(initial=1)), 1), 8)
+    if deg.max(initial=0) > k or k > ELL_K_CAP:
+        return None
+    plan = build_scatter_plan(major, other, emask, n_rows, k, nb=1)
+    if plan is None:
+        return None
+    plan.pop("loc")  # always 0 at nb=1
+    return plan, k
 
 
 def build_pool_plan(node_graph, node_mask, num_graphs: int):
@@ -305,4 +330,15 @@ def build_sfa_fields(edge_src, edge_dst, edge_mask, edge_attr, n_slots: int,
         pool, _ = build_pool_plan(node_graph, node_mask, num_graphs)
         if pool is not None:
             fields["sfa_pool"] = pool
+    # ELL neighbor slots (PNA's segment min/max — ops/ell.py)
+    ed = build_ell_plan(edge_dst, edge_src, edge_mask, n_slots)
+    es = build_ell_plan(edge_src, edge_dst, edge_mask, n_slots)
+    if ed is not None and es is not None:
+        (pd_ell, k_in), (ps_ell, k_out) = ed, es
+        pd_ell.pop("perm")
+        ps_ell.pop("perm")
+        fields["ell_dst"] = pd_ell
+        fields["ell_src"] = ps_ell
+        fields["ell_k_in"] = k_in
+        fields["ell_k_out"] = k_out
     return fields

@@ -92,6 +92,12 @@ def _msg_factors(pre, w, mask, message):
     return m * mask[:, None].astype(m.dtype)
 
 
+def _pre(xs, emb, message):
+    # message "copy" sums raw gathered rows (emb may be None — PNA's
+    # decomposed sums of node-level projections)
+    return xs if message == "copy" else xs + emb
+
+
 def _fwd(x, emb_dst, emb_src, w_dst, w_src, plan_dst, plan_src, nb,
          message):
     N, d = x.shape
@@ -99,7 +105,8 @@ def _fwd(x, emb_dst, emb_src, w_dst, w_src, plan_dst, plan_src, nb,
     eb = plan_dst["mask"].shape[0] // nblk
     w = None if w_dst is None else jax.lax.stop_gradient(w_dst)
     xs = jnp.take(x, plan_dst["other_g"], axis=0)
-    m = _msg_factors(xs + emb_dst, w, plan_dst["mask"], message)
+    m = _msg_factors(_pre(xs, emb_dst, message), w, plan_dst["mask"],
+                     message)
     oh = _one_hot_blocks(plan_dst["loc"], nblk, eb, nb, x.dtype)
     out = _block_matmul(oh, m, nblk, eb, nb, d, x.dtype)
     return out, (x, emb_dst, emb_src, w, w_src)
@@ -145,7 +152,7 @@ def _bwd_rule(nb, message, res, g):
             dm = jnp.where(pre > 0, dm, 0)
         return dm * plan["mask"][:, None].astype(dt)
 
-    demb = dmsg_in(plan_dst, w)
+    demb = dmsg_in(plan_dst, w) if emb_dst is not None else None
     dmsg_s = dmsg_in(plan_src,
                      None if w_src is None
                      else jax.lax.stop_gradient(w_src))

@@ -145,3 +145,43 @@ def test_graph_sum_sfa_matches_segment(rng, monkeypatch):
         t, batch.node_graph, batch.node_mask, batch.sfa_pool, G) ** 2))(h)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pna_ell_matches_segment_path(rng, monkeypatch):
+    """PNA tower aggregation via the linear-message decomposition (node
+    projections + scatter-free sums + ELL min/max) equals the segment
+    path — outputs and grads (x, tower params)."""
+    from graphtrans_tpu.nn.pna import PNAConv
+
+    batch = _sfa_batch()
+    assert batch.ell_dst is not None
+    F = 64
+    conv = PNAConv(emb_dim=F, towers=4, avg_deg_log=1.3, avg_deg_lin=3.0)
+    h = rng.standard_normal((batch.node_feat.shape[0], F)).astype(np.float32)
+    h[~np.asarray(batch.node_mask)] = 0
+    h = jnp.asarray(h)
+    variables = conv.init(jax.random.key(0), batch, h, False)
+
+    def loss(variables, h, ell):
+        monkeypatch.setattr(conv_mod, "_SFA_FORCE", ell)
+        conv_mod.set_scatter_free("on" if ell else "off")
+        try:
+            out = conv.apply(variables, batch, h, False)
+            return jnp.sum(out ** 2)
+        finally:
+            conv_mod.set_scatter_free("auto")
+
+    l_s, g_s = jax.value_and_grad(loss, argnums=(0, 1))(variables, h, False)
+    l_e, g_e = jax.value_and_grad(loss, argnums=(0, 1))(variables, h, True)
+    np.testing.assert_allclose(float(l_e), float(l_s), rtol=1e-4)
+    flat_s, tree_s = jax.tree_util.tree_flatten(g_s)
+    flat_e, tree_e = jax.tree_util.tree_flatten(g_e)
+    assert tree_s == tree_e
+    for a, b in zip(flat_s, flat_e):
+        # decomposition reassociates sums (var(a+b)=var(b), a+max(b)) and
+        # min/max tie-splitting differs from segment vjps only AT ties —
+        # outlier budget as in the conv tests
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(b - a) / (np.abs(a) + 1e-3)
+        assert float((rel > 5e-3).mean()) <= 0.02, float(rel.max())
+        assert float(np.median(rel)) < 1e-4
