@@ -121,3 +121,54 @@ def test_fuzz_dense_layout_invariants():
                 assert dense_pairs == flat_pairs
                 seen.extend(np.asarray(b.graph_ids)[np.asarray(b.graph_mask)].tolist())
             assert sorted(seen) == list(range(len(graphs)))
+
+
+def test_fuzz_scatter_free_plan_invariants():
+    """Random shapes through GraphLoader(scatter_free=True): every batch's
+    slot plans must cover exactly the valid edges, reconstruct the flat
+    endpoints as a multiset, and keep the ELL/pool plan geometry sound."""
+    rng = np.random.default_rng(321)
+    from graphtrans_tpu.ops import block_plan as bp
+
+    for trial in range(12):
+        n_graphs = int(rng.integers(3, 80))
+        graphs = make_mol_dataset(num_graphs=n_graphs,
+                                  num_tasks=4,
+                                  min_nodes=int(rng.integers(2, 8)),
+                                  max_nodes=int(rng.integers(9, 50)),
+                                  seed=1000 + trial)
+        bs = int(rng.integers(1, n_graphs + 2))
+        loader = GraphLoader(graphs, bs, shuffle=bool(trial % 2), seed=trial,
+                             num_tasks=4, y_dtype="float32",
+                             scatter_free=True, use_native=False)
+        for b in loader:
+            if b.sfa_dst is None:
+                continue
+            em = np.asarray(b.edge_mask)
+            N = b.node_graph.shape[0]
+            nb = b.sfa_nb
+            assert N % nb == 0
+            for plan, major, other in (
+                (b.sfa_dst, b.edge_dst, b.edge_src),
+                (b.sfa_src, b.edge_src, b.edge_dst),
+            ):
+                mask = np.asarray(plan["mask"]) > 0
+                assert int(mask.sum()) == int(em.sum())
+                L = mask.shape[0]
+                eb = L // (N // nb)
+                blk = np.arange(L) // eb
+                mg = (blk * nb + np.asarray(plan["loc"]))[mask]
+                og = np.asarray(plan["other_g"])[mask]
+                want = sorted(zip(np.asarray(major)[em].tolist(),
+                                  np.asarray(other)[em].tolist()))
+                assert sorted(zip(mg.tolist(), og.tolist())) == want
+            if b.ell_dst is not None:
+                for plan, k, major in ((b.ell_dst, b.ell_k_in, b.edge_dst),
+                                       (b.ell_src, b.ell_k_out, b.edge_src)):
+                    mask = np.asarray(plan["mask"]).reshape(N, k) > 0
+                    assert int(mask.sum()) == int(em.sum())
+                    deg = np.bincount(np.asarray(major)[em], minlength=N)
+                    np.testing.assert_array_equal(mask.sum(1), deg)
+            if b.sfa_pool is not None:
+                pm = np.asarray(b.sfa_pool["mask"]) > 0
+                assert int(pm.sum()) == int(np.asarray(b.node_mask).sum())

@@ -287,3 +287,63 @@ def test_checkpoint_orbax_crash_safety_and_freshness(rng, tmp_path):
     state4, _ = step_fn(state3, batch, jax.random.key(2))
     ckpt.save_checkpoint(path, state4, epoch=7, backend="pickle")
     assert ckpt.load_checkpoint(path)["epoch"] == 7
+
+
+def test_flag_trainer_composes_with_scatter_free(monkeypatch):
+    """FLAG's m-step adversarial scan through the scatter-free aggregation
+    custom_vjps (perturb gradients flow through dx): loss finite, params
+    move, and the step matches the segment path to fp tolerance."""
+    from graphtrans_tpu.data.synthetic import make_code_dataset
+    from graphtrans_tpu.data.vocab import augment_edge
+    from graphtrans_tpu.nn import conv as conv_mod
+    from graphtrans_tpu.nn.encoders import LinearEdgeEncoder
+
+    raw = make_code_dataset(num_graphs=24, min_nodes=8, max_nodes=40, seed=2)
+    graphs = []
+    for g in raw:
+        g = augment_edge(g)
+        g["y"] = np.asarray([hash(tuple(g["y_seq"])) % 2])
+        graphs.append(g)
+    args = default_args(model_type="gnn-transformer", gnn_type="gcn",
+                        scheduler=None, lr=1e-3, weight_decay=0.0,
+                        grad_clip=None, step_size=8e-3, m=2)
+    loader = GraphLoader(graphs, batch_size=12, shuffle=False, seed=0,
+                         scatter_free=True, use_native=False)
+    model_cls = MODELS[args.model_type]
+    model = model_cls.build(2, args, LinearNodeEncoder(args.gnn_emb_dim),
+                            lambda e: LinearEdgeEncoder(e))
+    sample = next(iter(loader))
+    assert sample.sfa_dst is not None
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        sample, None, False,
+    )
+    tx, _ = build_optimizer(args, len(loader))
+    trainer = TRAINER_REGISTRY["flag"]
+
+    def run(force):
+        monkeypatch.setattr(conv_mod, "_SFA_FORCE", force)
+        conv_mod.set_scatter_free("on" if force else "off")
+        try:
+            # fresh jit per arm: the routing global is read at TRACE time,
+            # so a shared compiled step would silently reuse the first
+            # arm's path
+            step_fn = trainer.make_train_step(
+                model, losses.classification_loss, tx, args, donate=False)
+            state = TrainState.create(
+                variables["params"], variables.get("batch_stats", {}),
+                tx.init(variables["params"]))
+            state, loss = trainer.train(step_fn, state, loader,
+                                        jax.random.key(0))
+            return state, loss
+        finally:
+            conv_mod.set_scatter_free("auto")
+
+    s_sfa, l_sfa = run(True)
+    s_seg, l_seg = run(False)
+    assert np.isfinite(l_sfa)
+    np.testing.assert_allclose(l_sfa, l_seg, rtol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s_sfa.params),
+                    jax.tree_util.tree_leaves(s_seg.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
