@@ -65,14 +65,15 @@ class GraphLoader:
         # per-chip local views (parallel/hybrid.py)
         self.hybrid_shards = hybrid_shards
         # scatter-free flat aggregation (ops/scatter_free.py): attach slot
-        # plans to every batch. Gated off under shard stacking / hybrid
-        # partitioning (plans would need identical slot budgets across
-        # shards) and under the dense layout (which has its own
-        # scatter-free formulation). The per-batch slot budget is bucketed
-        # (64-multiples), so an epoch sees at most a couple of compiled
-        # shapes.
+        # plans to every batch. Gated off under hybrid partitioning and the
+        # dense layout (which has its own scatter-free formulation). Under
+        # shard stacking (and for one-compiled-shape epochs generally) the
+        # slot budgets are PINNED dataset-wide from composition-independent
+        # bounds (ops/block_plan.dataset_sfa_caps), so every batch's plans
+        # stack tree-wise.
         self.scatter_free = (scatter_free and not dense_layout
-                             and num_shards == 1 and hybrid_shards <= 1)
+                             and hybrid_shards <= 1)
+        self._sfa_caps = None
         self.graphs = [dict(g, _id=i) for i, g in enumerate(graphs)]
         # size table for the vectorized planning pass (numpy cumsum per
         # batch instead of a Python loop over every graph every epoch)
@@ -201,14 +202,20 @@ class GraphLoader:
             return batch
         import dataclasses
 
-        from ..ops.block_plan import build_sfa_fields
+        from ..ops.block_plan import build_sfa_fields, dataset_sfa_caps
 
+        if self._sfa_caps is None:
+            self._sfa_caps = dataset_sfa_caps(self.graphs, self.node_cap)
+        caps = self._sfa_caps
         fields = build_sfa_fields(batch.edge_src, batch.edge_dst,
                                   batch.edge_mask, batch.edge_attr,
                                   batch.num_node_slots,
+                                  eb=caps["eb"],
                                   node_graph=batch.node_graph,
                                   node_mask=batch.node_mask,
-                                  num_graphs=batch.num_graph_slots)
+                                  num_graphs=batch.num_graph_slots,
+                                  ell_k=caps["ell_k"],
+                                  pool_eb=caps["pool_eb"])
         if fields is None:
             return batch
         return dataclasses.replace(batch, **fields)

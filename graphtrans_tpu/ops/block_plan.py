@@ -280,14 +280,16 @@ def build_ell_plan(major, other, emask, n_rows: int, k: int = None):
     return plan, k
 
 
-def build_pool_plan(node_graph, node_mask, num_graphs: int):
+def build_pool_plan(node_graph, node_mask, num_graphs: int,
+                    eb: int = None):
     """Graph-major slot plan for scatter-free per-graph sums
     (ops/scatter_free.graph_sum_sfa): nodes land in their graph's block
     slots; the forward per-graph sum is one batched one-hot matmul, the
     backward is the usual broadcast gather. Returns (plan, g_pad)."""
     g_pad = -(-max(num_graphs, 1) // POOL_NB) * POOL_NB
     node_idx = np.arange(len(np.asarray(node_graph)), dtype=np.int64)
-    eb = scatter_slot_budget(node_graph, node_mask, g_pad, POOL_NB)
+    if eb is None:
+        eb = scatter_slot_budget(node_graph, node_mask, g_pad, POOL_NB)
     plan = build_scatter_plan(np.asarray(node_graph), node_idx,
                               np.asarray(node_mask), g_pad, eb, POOL_NB)
     if plan is not None:
@@ -295,9 +297,55 @@ def build_pool_plan(node_graph, node_mask, num_graphs: int):
     return plan, g_pad
 
 
+def dataset_sfa_caps(graphs, n_cap: int):
+    """Composition-independent slot budgets so EVERY batch of this dataset
+    yields identically-shaped plans (required for shard stacking under data
+    parallelism, and for one compiled shape per epoch):
+
+      eb      edge slots per nb-row scatter block — LP (fractional
+              knapsack) upper bound on edges landing in any window of
+              nb + 2*max_nodes node rows, packing by edge density
+      ell_k   max in/out degree across the dataset (degrees are per-graph
+              local, so batch composition cannot change them)
+      pool_eb node slots per POOL_NB-graph pooling block — sum of the
+              POOL_NB largest graph node counts
+    """
+    from ..data.batch import bucket_size
+
+    nodes = np.array([int(g["x"].shape[0]) for g in graphs], np.int64)
+    edges = np.array([int(g["edge_index"].shape[1]) for g in graphs],
+                     np.int64)
+    nb = sfa_block_rows(n_cap)
+    budget = nb + 2 * int(nodes.max(initial=1))
+    dens_order = np.argsort(-(edges / np.maximum(nodes, 1)))
+    acc_e = 0.0
+    left = float(budget)
+    for i in dens_order:
+        take = min(1.0, left / max(float(nodes[i]), 1.0))
+        acc_e += take * float(edges[i])
+        left -= take * float(nodes[i])
+        if left <= 0:
+            break
+    eb = bucket_size(max(int(np.ceil(acc_e)), 1), 64)
+
+    kmax = 1
+    for g in graphs:
+        ei = np.asarray(g["edge_index"])
+        if ei.shape[1]:
+            kmax = max(kmax,
+                       int(np.bincount(ei[0]).max(initial=1)),
+                       int(np.bincount(ei[1]).max(initial=1)))
+    ell_k = bucket_size(kmax, 8)
+    pool_eb = bucket_size(max(int(np.sort(nodes)[::-1][:POOL_NB].sum()), 1),
+                          64)
+    return {"eb": eb, "ell_k": ell_k if ell_k <= ELL_K_CAP else 0,
+            "pool_eb": pool_eb, "nb": nb}
+
+
 def build_sfa_fields(edge_src, edge_dst, edge_mask, edge_attr, n_slots: int,
                      eb: int = None, node_graph=None, node_mask=None,
-                     num_graphs: int = 0):
+                     num_graphs: int = 0, ell_k: int = None,
+                     pool_eb: int = None):
     """Everything a GraphBatch needs for the scatter-free route
     (ops/scatter_free.py), or None if a block overflows `eb`: slot plans
     for both orders, slot-ordered edge_attr copies, and the host-computed
@@ -327,12 +375,19 @@ def build_sfa_fields(edge_src, edge_dst, edge_mask, edge_attr, n_slots: int,
         "sfa_nb": nb,
     }
     if node_graph is not None and num_graphs > 0:
-        pool, _ = build_pool_plan(node_graph, node_mask, num_graphs)
+        pool, _ = build_pool_plan(node_graph, node_mask, num_graphs,
+                                  eb=pool_eb)
         if pool is not None:
             fields["sfa_pool"] = pool
-    # ELL neighbor slots (PNA's segment min/max — ops/ell.py)
-    ed = build_ell_plan(edge_dst, edge_src, edge_mask, n_slots)
-    es = build_ell_plan(edge_src, edge_dst, edge_mask, n_slots)
+    # ELL neighbor slots (PNA's segment min/max — ops/ell.py).
+    # ell_k: None = derive from this batch, 0 = DISABLED (dataset max
+    # degree exceeds ELL_K_CAP — disabling everywhere keeps the batch
+    # pytree structure identical across batches/shards), > 0 = pinned.
+    if ell_k == 0:
+        ed = es = None
+    else:
+        ed = build_ell_plan(edge_dst, edge_src, edge_mask, n_slots, k=ell_k)
+        es = build_ell_plan(edge_src, edge_dst, edge_mask, n_slots, k=ell_k)
     if ed is not None and es is not None:
         (pd_ell, k_in), (ps_ell, k_out) = ed, es
         pd_ell.pop("perm")

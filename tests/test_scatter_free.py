@@ -112,9 +112,21 @@ def test_loader_attaches_sfa_plans():
         assert int((np.asarray(b.sfa_dst["mask"]) > 0).sum()) == int(
             np.asarray(b.edge_mask).sum())
         assert b.sfa_nb > 0 and b.node_graph.shape[0] % b.sfa_nb == 0
+    # shard stacking: pinned dataset-wide caps make every shard's plans
+    # identically shaped, so they stack tree-wise
     ld2 = GraphLoader(graphs, batch_size=8, num_tasks=4, y_dtype="float32",
                       scatter_free=True, num_shards=2)
-    assert not ld2.scatter_free
+    assert ld2.scatter_free
+    stacked = list(ld2)
+    assert stacked
+    for b in stacked:
+        assert b.sfa_dst is not None
+        assert b.sfa_dst["mask"].shape[0] == 2  # leading shard axis
+        assert b.sfa_nb > 0
+    # hybrid partitioning still gates plans off
+    ld3 = GraphLoader(graphs, batch_size=8, num_tasks=4, y_dtype="float32",
+                      scatter_free=True, hybrid_shards=2)
+    assert not ld3.scatter_free
 
 
 def test_graph_sum_sfa_matches_segment(rng, monkeypatch):

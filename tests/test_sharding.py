@@ -384,3 +384,85 @@ def test_dp_step_matches_single_device_unbalanced_shards(rng):
     for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
                     jax.tree_util.tree_leaves(s_dp.params)):
         assert np.max(np.abs(np.asarray(a) - np.asarray(b))) <= 2 * args.lr + 1e-6
+
+
+def test_dp_step_with_scatter_free_plans(rng, monkeypatch):
+    """shard_map DP over batches carrying scatter-free slot plans (pinned
+    dataset-wide caps): the sfa route under DP matches the segment route
+    under DP — the plans shard correctly with the batch pytree."""
+    from graphtrans_tpu.data.loader import GraphLoader
+    from graphtrans_tpu.data.synthetic import make_code_dataset
+    from graphtrans_tpu.data.vocab import augment_edge
+    from graphtrans_tpu.nn import conv as conv_mod
+    from graphtrans_tpu.nn.encoders import LinearEdgeEncoder
+
+    raw = make_code_dataset(num_graphs=32, min_nodes=8, max_nodes=40, seed=4)
+    graphs = []
+    for g in raw:
+        g = augment_edge(g)
+        g["y"] = np.asarray([hash(tuple(g["y_seq"])) % 2])
+        graphs.append(g)
+    loader = GraphLoader(graphs, batch_size=16, shuffle=False, seed=0,
+                         num_shards=2, scatter_free=True, use_native=False)
+    stacked = next(iter(loader))
+    assert stacked.sfa_dst is not None
+
+    args = default_args(model_type="gnn-transformer", gnn_type="gcn",
+                        gnn_dropout=0.0, transformer_dropout=0.0,
+                        weight_decay=0.0)
+    args.bn_axis_name = "data"
+    model = MODELS["gnn-transformer"].build(
+        2, args, LinearNodeEncoder(args.gnn_emb_dim),
+        lambda e: LinearEdgeEncoder(e))
+    one = jax.tree_util.tree_map(lambda x: x[0], stacked)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        one, None, False,
+    )
+    params, bs = variables["params"], variables.get("batch_stats", {})
+    tx, _ = build_optimizer(args, 10)
+    trainer = TRAINER_REGISTRY["baseline"]
+
+    from functools import partial  # noqa: F401
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from graphtrans_tpu.parallel.mesh import make_mesh
+
+    s0 = TrainState.create(params, bs, tx.init(params))
+
+    def run(force):
+        monkeypatch.setattr(conv_mod, "_SFA_FORCE", force)
+        conv_mod.set_scatter_free("on" if force else "off")
+        try:
+            step_dp = make_dp_train_step(
+                trainer, model, losses.classification_loss, tx, args,
+                "gnn_node", 2, donate=False)
+            _, loss = step_dp(s0, stacked, jax.random.key(9))
+
+            grad_inner = trainer.make_grad_fn(
+                model, losses.classification_loss, args)
+
+            def dp_grads(state, sb, rng):
+                b = jax.tree_util.tree_map(lambda x: x[0], sb)
+                g, _, _ = grad_inner(state, b, rng)
+                return jax.lax.pmean(g, "data")
+
+            g = jax.jit(shard_map(
+                dp_grads, mesh=make_mesh(dp=2),
+                in_specs=(P(), P("data"), P()), out_specs=P(),
+                check_rep=False,
+            ))(s0, stacked, jax.random.key(9))
+            return g, float(loss)
+        finally:
+            conv_mod.set_scatter_free("auto")
+
+    g_sfa, l_sfa = run(True)
+    g_seg, l_seg = run(False)
+    np.testing.assert_allclose(l_sfa, l_seg, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sfa),
+                    jax.tree_util.tree_leaves(g_seg)):
+        # gradient comparison with the usual relu-boundary outlier budget
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(b - a) / (np.abs(a) + 1e-5)
+        assert float((rel > 1e-3).mean()) <= 0.02, float(rel.max())
+        assert float(np.median(rel)) < 1e-4
