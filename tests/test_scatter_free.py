@@ -197,3 +197,64 @@ def test_pna_ell_matches_segment_path(rng, monkeypatch):
         rel = np.abs(b - a) / (np.abs(a) + 1e-3)
         assert float((rel > 5e-3).mean()) <= 0.02, float(rel.max())
         assert float(np.median(rel)) < 1e-4
+
+
+def test_scatter_free_large_graphs_and_hub_fallback(rng, monkeypatch):
+    """Real-code2 regime insurance: graphs past max_input_len (message
+    passing sees all nodes; only the dense packing truncates) still train
+    through the forced scatter-free route, and a hub node whose degree
+    exceeds ELL_K_CAP disables the ELL plans (batch structure stays stable)
+    while the scatter plans keep working."""
+    import jax
+
+    from graphtrans_tpu.data.loader import GraphLoader
+    from graphtrans_tpu.models import MODELS
+    from graphtrans_tpu.nn.encoders import LinearEdgeEncoder, LinearNodeEncoder
+    from graphtrans_tpu.ops import block_plan as bp
+
+    rs = np.random.default_rng(9)
+    graphs = []
+    for i in range(6):
+        n = int(rs.integers(400, 1500))
+        src = rs.integers(0, n, 3 * n)
+        dst = rs.integers(0, n, 3 * n)
+        if i == 0:
+            # hub: one node receives > ELL_K_CAP edges
+            dst[: bp.ELL_K_CAP + 40] = 7
+        g = {
+            "x": rs.standard_normal((n, 4)).astype(np.float32),
+            "edge_index": np.stack([src, dst]).astype(np.int64),
+            "edge_attr": rs.standard_normal((3 * n, 2)).astype(np.float32),
+            "y": np.asarray([i % 2]),
+        }
+        graphs.append(g)
+
+    loader = GraphLoader(graphs, batch_size=6, shuffle=False, seed=0,
+                         num_tasks=2, y_dtype="int32", max_input_len=512,
+                         scatter_free=True, use_native=False)
+    batch = next(iter(loader))
+    assert batch.sfa_dst is not None
+    assert batch.ell_dst is None  # hub exceeded ELL_K_CAP -> disabled
+    # truncation happened in the dense packing only
+    assert batch.max_nodes_dense <= 512
+    assert int(np.asarray(batch.node_mask).sum()) == sum(
+        g["x"].shape[0] for g in graphs)
+
+    from tests.test_train import default_args  # reuse arg defaults
+
+    args = default_args(model_type="gnn-transformer", gnn_type="gcn",
+                        scheduler=None, weight_decay=0.0, grad_clip=None)
+    model = MODELS["gnn-transformer"].build(
+        2, args, LinearNodeEncoder(args.gnn_emb_dim),
+        lambda e: LinearEdgeEncoder(e))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, None, False)
+
+    monkeypatch.setattr(conv_mod, "_SFA_FORCE", True)
+    conv_mod.set_scatter_free("on")
+    try:
+        out = model.apply(variables, batch, None, False)
+        assert np.isfinite(np.asarray(out)).all()
+    finally:
+        conv_mod.set_scatter_free("auto")
