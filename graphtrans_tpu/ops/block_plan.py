@@ -156,10 +156,11 @@ def permute_edge_data(arr, perm, fill=0):
 # Profiling showed the flat path's GATHERS are cheap (~0.7 ms at code2 scale,
 # bandwidth-bound) while its SCATTER-ADDS are row-SERIALIZED (~4.5 ms each,
 # dtype-independent) — so only the scatter side needs the one-hot-matmul
-# treatment. Group edges by dst block of NB rows with a fixed per-block slot
+# treatment. Group edges by dst block of nb rows with a fixed per-block slot
 # budget; the scatter becomes ONE batched one-hot matmul over all blocks.
-# The backward's dx scatter uses the src-major twin plus a slot PERMUTATION
-# (a gather) carrying message cotangents between the two orders.
+# The backward's dx runs the src-major twin plan, RECOMPUTING the message
+# cotangent in that order (row gathers of per-node values — permuting [L, d]
+# tensors between slot orders measured 3.5 ms vs 0.8 for a plain gather).
 # ---------------------------------------------------------------------------
 
 
@@ -225,11 +226,8 @@ def build_scatter_plan(major, other, emask, n_slots: int, eb: int, nb: int):
 
 def scatter_plan_pair(src, dst, emask, n_slots: int, eb: int = None,
                       nb: int = None):
-    """(dst-major plan, src-major plan with src->dst slot map, nb) or None.
-
-    The slot map carries per-edge values computed in dst-slot order into
-    src-slot order with a device GATHER (the scatter-free backward's
-    re-ordering); pad slots map to slot 0 and are masked. `eb` pins the
+    """(dst-major plan, src-major plan, nb) or None — the CSR/CSC pair of
+    the scatter-free autodiff (forward + d_emb vs dx). `eb` pins the
     per-block slot budget dataset-wide (sharded stacking / one compiled
     shape); None derives it from this batch (bucketed)."""
     if nb is None:
@@ -241,14 +239,6 @@ def scatter_plan_pair(src, dst, emask, n_slots: int, eb: int = None,
     ps = build_scatter_plan(src, dst, emask, n_slots, eb, nb)
     if pd is None or ps is None:
         return None
-    inv_d = np.zeros(len(np.asarray(emask)), np.int64)
-    valid_d = pd["perm"] >= 0
-    inv_d[pd["perm"][valid_d]] = np.nonzero(valid_d)[0]
-    s2d = np.zeros(len(ps["perm"]), np.int32)
-    valid_s = ps["perm"] >= 0
-    s2d[valid_s] = inv_d[ps["perm"][valid_s]]
-    ps = dict(ps)
-    ps["from_dst_slot"] = s2d
     return pd, ps, nb
 
 
@@ -358,7 +348,6 @@ def build_sfa_fields(edge_src, edge_dst, edge_mask, edge_attr, n_slots: int,
     sfa_dst, sfa_src, nb = pair
     perm_d = sfa_dst.pop("perm")
     perm_s = sfa_src.pop("perm")
-    sfa_src.pop("from_dst_slot", None)
     deg = np.bincount(np.asarray(edge_src)[np.asarray(edge_mask)],
                       minlength=n_slots) + 1.0
     dis = deg ** -0.5

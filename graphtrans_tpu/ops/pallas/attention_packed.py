@@ -53,9 +53,10 @@ def _sp(S):
 def _bt(S):
     """Batch rows per grid step — scaled down as the [BT, S, H*sp] f32
     score block grows (the f32 backward at sp=384, bt=2 measured 18 MB of
-    scoped VMEM; _cparams raises the limit to 32 MB for sp > 128)."""
+    scoped VMEM; _cparams raises the limit to 64 MB for sp > 128 so bt=4
+    fits and the grid halves)."""
     sp = _sp(S)
-    return 8 if sp <= 128 else (4 if sp <= 256 else 2)
+    return 8 if sp <= 128 else 4
 
 
 def _cparams(S, interpret):
@@ -63,7 +64,7 @@ def _cparams(S, interpret):
         return None
     from jax.experimental.pallas import tpu as pltpu
 
-    return pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 _NEG = -1e30
 
 
