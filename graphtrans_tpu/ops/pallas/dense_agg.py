@@ -106,7 +106,6 @@ def _bwd_kernel(x_ref, src_ref, dst_ref, emask_ref, emb_ref, w_ref, g_ref,
 
 def _call_fwd(xd, src, dst, emask, emb, w, relu, interpret):
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     G, Sm, d = xd.shape
     Em = src.shape[1]

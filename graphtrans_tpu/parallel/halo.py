@@ -23,7 +23,6 @@ Parity-tested against the single-chip reduction on the virtual CPU mesh.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 

@@ -23,7 +23,7 @@ import dataclasses
 import numpy as np
 
 from ..data.batch import GraphBatch
-from .halo import HaloPartition, build_halo_partition
+from .halo import build_halo_partition
 from .mesh import make_mesh
 
 
