@@ -45,7 +45,7 @@ def naive_gather_message_scatter(x, edge_emb, edge_src, edge_dst, edge_mask,
 
 
 def build(batch_size=256, nodes_per=26, emb=256, seed=0, precision="f32",
-          layout="dense"):
+          layout="dense", want_model=False):
     from graphtrans_tpu.data.batch import collate
     from graphtrans_tpu.data.loader import dataset_caps
     from graphtrans_tpu.data.synthetic import make_mol_dataset
@@ -89,11 +89,13 @@ def build(batch_size=256, nodes_per=26, emb=256, seed=0, precision="f32",
     trainer = TRAINER_REGISTRY["baseline"]
     step = trainer.make_train_step(model, losses.binary_multitask_loss, tx, args,
                                    donate=False)
+    if want_model:
+        return state, step, batch, model
     return state, step, batch
 
 
 def build_code2(batch_size=512, emb=300, seed=0, precision="bf16",
-                model="gnn-transformer"):
+                model="gnn-transformer", want_model=False):
     """The OTHER headline workload: ogbg-code2-shaped ASTs (~50-250 nodes,
     augmented AST/inverse/next-token edges with 2-dim attrs) through the
     code2 flagship config (GCN-virtual JK=cat emb 300 -> norm_input CLS
@@ -163,6 +165,8 @@ def build_code2(batch_size=512, emb=300, seed=0, precision="bf16",
     trainer = TRAINER_REGISTRY["baseline"]
     step = trainer.make_train_step(model, losses.seq_token_loss, tx, args,
                                    donate=False)
+    if want_model:
+        return state, step, batch, model
     return state, step, batch
 
 
@@ -195,6 +199,40 @@ def flagship_flops(batch, emb=256, d_model=128, ff=512, nhead=4,
         return gin_mlp + vn_mlp + bridge + attn + ffw + head
 
     return 3 * fwd(Np, Gp), 3 * fwd(Nv, Gv)
+
+
+def time_eval(model, state, batch, emb_dim, iters=8):
+    """Inference-forward time via the k-unrolled-in-one-jit slope: forwards
+    chain through the FLAG perturb hook (a first-class float input on every
+    model) so the backend cannot overlap or elide them, and the slope over
+    k cancels the tunnel's per-dispatch cost."""
+    import functools
+
+    N = batch.node_mask.shape[0]
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def eval_k(variables, batch, k):
+        c = jnp.zeros((), jnp.float32)
+        for _ in range(k):
+            perturb = jnp.zeros((N, emb_dim), jnp.float32) + c * 1e-9
+            out = model.apply(variables, batch, perturb, False)
+            out = out[0] if isinstance(out, (list, tuple)) else out
+            c = jnp.mean(out.astype(jnp.float32))
+        return c
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    k_short, k_long = max(iters // 4, 1), max(iters, 2)
+    float(eval_k(variables, batch, k_short))
+    float(eval_k(variables, batch, k_long))
+    t = {}
+    for k in (k_short, k_long):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(eval_k(variables, batch, k))
+            ts.append(time.perf_counter() - t0)
+        t[k] = min(ts)
+    return max(t[k_long] - t[k_short], 1e-9) / (k_long - k_short)
 
 
 def time_steps(step, state, batch, rng, warmup=3, iters=20):
@@ -253,29 +291,37 @@ def main():
                         "(the headline); code2 = AST-shaped GCN-virtual "
                         "seq-head flagship on the flat scatter-free path; "
                         "code2_pna = the PNA-transformer variant (emb 272)")
+    p.add_argument("--mode", type=str, default="train",
+                   choices=["train", "eval"],
+                   help="eval = time the inference forward (serving-side "
+                        "throughput) instead of the training step")
     args = p.parse_args()
 
     jax.config.update("jax_default_prng_impl", args.prng)
 
     if args.workload in ("code2", "code2_pna"):
         bs = args.batch_size if args.batch_size != 4096 else 512
-        state, step, batch = build_code2(
+        state, step, batch, model = build_code2(
             batch_size=bs, precision=args.precision,
             model="pna-transformer" if args.workload == "code2_pna"
-            else "gnn-transformer")
+            else "gnn-transformer", want_model=True)
         rng = jax.random.key(0)
         edges = int(np.asarray(batch.edge_mask).sum())
         batch = jax.device_put(batch)
-        dt = time_steps(step, state, batch, rng, iters=args.iters)
+        if args.mode == "eval":
+            emb = 272 if args.workload == "code2_pna" else 300
+            dt = time_eval(model, state, batch, emb, iters=args.iters)
+        else:
+            dt = time_steps(step, state, batch, rng, iters=args.iters)
         print(json.dumps({
-            "metric": "train_edges_per_sec_per_chip",
+            "metric": f"{args.mode}_edges_per_sec_per_chip",
             "value": round(edges / dt, 1),
             "unit": "edges/s",
             "vs_baseline": None,
             "detail": {
                 "workload": args.workload, "layout": "flat",
                 "precision": args.precision, "prng": args.prng,
-                "batch_size": bs, "edges": edges,
+                "batch_size": bs, "edges": edges, "mode": args.mode,
                 "step_ms": round(dt * 1e3, 2),
                 "note": "code2-shaped ASTs on the flat segment path (the "
                         "production route for graphs beyond the dense-"
@@ -286,11 +332,26 @@ def main():
         }))
         return
 
-    state, step, batch = build(batch_size=args.batch_size,
-                               precision=args.precision, layout=args.layout)
+    state, step, batch, model = build(batch_size=args.batch_size,
+                                      precision=args.precision,
+                                      layout=args.layout, want_model=True)
     rng = jax.random.key(0)
     edges = int(np.asarray(batch.edge_mask).sum())
     batch = jax.device_put(batch)
+
+    if args.mode == "eval":
+        dt = time_eval(model, state, batch, 256, iters=args.iters)
+        print(json.dumps({
+            "metric": "eval_edges_per_sec_per_chip",
+            "value": round(edges / dt, 1),
+            "unit": "edges/s",
+            "vs_baseline": None,
+            "detail": {"workload": "mol", "layout": args.layout,
+                       "precision": args.precision, "mode": "eval",
+                       "edges": edges, "step_ms": round(dt * 1e3, 2),
+                       "device": str(jax.devices()[0].device_kind)},
+        }))
+        return
 
     dt = time_steps(step, state, batch, rng, iters=args.iters)
     edges_per_s = edges / dt
