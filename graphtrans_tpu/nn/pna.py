@@ -80,8 +80,10 @@ class PNAConv(nn.Module):
         w_pre = self.param("pre_w", _tower_linear_init(2 * Ft), (T, 2 * Ft, Ft))
         b_pre = self.param("pre_b", _tower_linear_init(2 * Ft), (T, Ft))
 
+        _ell_aggs = {"sum", "mean", "std", "var", "max", "min"}
         use_ell = (getattr(batch, "ell_dst", None) is not None
-                   and _sfa_route(batch, "add"))
+                   and _sfa_route(batch, "add")
+                   and all(a in _ell_aggs for a in self.aggregators))
         if use_ell:
             # Scatter-free PNA aggregation: the pre-linear message is LINEAR
             # in (x_i, x_j) — msg = xiproj[dst] + xjproj[src] with the tower
@@ -116,10 +118,13 @@ class PNAConv(nn.Module):
                 aggs["sum"] = deg_raw[:, None].astype(x.dtype) * xiproj + s1
             if "mean" in self.aggregators:
                 aggs["mean"] = jnp.where(has, xiproj + mean_b, 0)
-            if "std" in self.aggregators:
+            if "std" in self.aggregators or "var" in self.aggregators:
                 s2 = ssum((xjproj * xjproj).astype(x.dtype))
                 var = jax.nn.relu(s2 / deg_safe - mean_b * mean_b)
-                aggs["std"] = jnp.sqrt(var + 1e-5)
+                if "std" in self.aggregators:
+                    aggs["std"] = jnp.sqrt(var + 1e-5)
+                if "var" in self.aggregators:
+                    aggs["var"] = var
             if "max" in self.aggregators or "min" in self.aggregators:
                 mxb, mnb = ell_minmax(xjproj, batch.ell_dst, batch.ell_src,
                                       batch.ell_k_in, batch.ell_k_out)
@@ -143,13 +148,14 @@ class PNAConv(nn.Module):
             stacked = []
             deg = jnp.maximum(in_degree(batch.edge_dst, N, batch.edge_mask), 1.0)
         # scalers multiply the aggregated features — compute the degree
-        # factors in f32 for accuracy but CAST to the compute dtype before
-        # the multiply (an f32 factor would promote the whole downstream
-        # model back to f32 under --precision bf16)
-        deg = deg.astype(x.dtype)
-        log_deg = jnp.log(deg + 1.0).astype(x.dtype)
+        # factors (log/ratios) in f32 for accuracy (bf16 log rounds for
+        # degrees > 256) and CAST the final per-node factor to the compute
+        # dtype before the multiply (an f32 factor would promote the whole
+        # downstream model back to f32 under --precision bf16)
+        deg_f32 = deg.astype(jnp.float32)
+        log_deg_f32 = jnp.log(deg_f32 + 1.0)
         for agg_name in self.aggregators:
-            if agg_name == "sum" and agg_name not in aggs:
+            if agg_name == "sum" and aggs.get(agg_name) is None:
                 a = segment_sum(msg.reshape(-1, T * Ft), batch.edge_dst, N, mask=batch.edge_mask)
             else:
                 a = aggs[agg_name]
@@ -164,16 +170,18 @@ class PNAConv(nn.Module):
         for sc in self.scalers:
             if sc == "identity":
                 scaled.append(out3)
-            elif sc == "amplification":
-                scaled.append(out3 * (log_deg / self.avg_deg_log)[:, None, None])
+                continue
+            if sc == "amplification":
+                factor = log_deg_f32 / self.avg_deg_log
             elif sc == "attenuation":
-                scaled.append(out3 * (self.avg_deg_log / log_deg)[:, None, None])
+                factor = self.avg_deg_log / log_deg_f32
             elif sc == "linear":
-                scaled.append(out3 * (deg / self.avg_deg_lin)[:, None, None])
+                factor = deg_f32 / self.avg_deg_lin
             elif sc == "inverse_linear":
-                scaled.append(out3 * (self.avg_deg_lin / deg)[:, None, None])
+                factor = self.avg_deg_lin / deg_f32
             else:
                 raise ValueError(sc)
+            scaled.append(out3 * factor.astype(x.dtype)[:, None, None])
         out = jnp.concatenate(scaled, axis=-1)  # [N, T, S*A*Ft] (s, a, ft)
         out = jnp.concatenate([xt, out], axis=-1)
         fan = (1 + S * A) * Ft

@@ -173,8 +173,10 @@ def make_loaders(bundle, args, num_shards=1):
         # native collation threads here (0 = auto by batch size)
         native_threads=getattr(args, "num_workers", 0),
         # scatter-free flat aggregation (ops/scatter_free.py): default on
-        # for flat layouts (the loader gates it off under shard stacking /
-        # hybrid partitioning); measured 106.0 vs 116.8 ms on the code2
+        # for flat layouts. Only hybrid partitioning and the dense layout
+        # gate it off; under DP shard stacking the plans are built with
+        # pinned dataset-wide caps so shards stack tree-wise (tested in
+        # tests/test_sharding.py). Measured 106.0 vs 116.8 ms on the code2
         # bench arm
         scatter_free=getattr(args, "scatter_free", "auto") != "off",
     )

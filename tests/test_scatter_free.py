@@ -199,6 +199,32 @@ def test_pna_ell_matches_segment_path(rng, monkeypatch):
         assert float(np.median(rel)) < 1e-4
 
 
+def test_pna_ell_var_and_sum_aggregators(rng, monkeypatch):
+    """Regression: the ELL route must cover the full reference aggregator
+    set — 'var' used to raise a trace-time KeyError there (ADVICE r2)."""
+    from graphtrans_tpu.nn.pna import PNAConv
+
+    batch = _sfa_batch()
+    assert batch.ell_dst is not None
+    F = 64
+    conv = PNAConv(emb_dim=F, towers=4, avg_deg_log=1.3, avg_deg_lin=3.0,
+                   aggregators=("mean", "var", "sum"))
+    h = rng.standard_normal((batch.node_feat.shape[0], F)).astype(np.float32)
+    h[~np.asarray(batch.node_mask)] = 0
+    h = jnp.asarray(h)
+    variables = conv.init(jax.random.key(0), batch, h, False)
+
+    outs = {}
+    for ell in (False, True):
+        monkeypatch.setattr(conv_mod, "_SFA_FORCE", ell)
+        conv_mod.set_scatter_free("on" if ell else "off")
+        try:
+            outs[ell] = np.asarray(conv.apply(variables, batch, h, False))
+        finally:
+            conv_mod.set_scatter_free("auto")
+    np.testing.assert_allclose(outs[True], outs[False], rtol=2e-3, atol=2e-4)
+
+
 def test_scatter_free_large_graphs_and_hub_fallback(rng, monkeypatch):
     """Real-code2 regime insurance: graphs past max_input_len (message
     passing sees all nodes; only the dense packing truncates) still train
