@@ -40,13 +40,55 @@ class Logger:
 logger = Logger()
 
 
-class MetricsLogger:
-    """Append-only JSONL metrics stream (the wandb.log equivalent)."""
+class WandbSink:
+    """Optional wandb adapter reproducing the reference's exact surface
+    (/root/reference/main.py:24,107,115,219,238-245: init(project), run
+    name, config.update(args), per-iter/per-epoch log dicts, best-metric
+    summaries). Degrades to a warning no-op when wandb is not importable
+    or init fails (this image is zero-egress and ships no wandb)."""
 
-    def __init__(self, path: Optional[str] = None, run_name: str = ""):
+    def __init__(self, project: str, run_name: str, config: Optional[dict] = None):
+        self._run = None
+        try:
+            import wandb  # noqa: F401 — optional dependency
+        except ImportError:
+            logger.warning("--wandb requested but the wandb package is not "
+                           "installed; metrics go to metrics.jsonl only")
+            return
+        try:
+            self._run = wandb.init(project=project)
+            self._run.name = run_name
+            if config:
+                self._run.config.update(config, allow_val_change=True)
+        except Exception as e:  # offline/unauthenticated hosts
+            logger.warning(f"wandb.init failed ({e}); metrics go to "
+                           "metrics.jsonl only")
+            self._run = None
+
+    def log(self, metrics: dict):
+        if self._run is not None:
+            self._run.log(metrics)
+
+    def set_summary(self, key, value):
+        if self._run is not None:
+            self._run.summary[key] = value
+
+    def finish(self):
+        if self._run is not None:
+            self._run.finish()
+            self._run = None
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics stream (the wandb.log equivalent), with an
+    optional wandb mirror (`sink`) for hosts that have wandb installed."""
+
+    def __init__(self, path: Optional[str] = None, run_name: str = "",
+                 sink: Optional[WandbSink] = None):
         self.path = path
         self.run_name = run_name
         self.summary: dict = {}
+        self.sink = sink
         if path:
             os.makedirs(os.path.dirname(path), exist_ok=True)
 
@@ -55,12 +97,16 @@ class MetricsLogger:
         if self.path:
             with open(self.path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
+        if self.sink is not None:
+            self.sink.log(metrics)
 
     def set_summary(self, key, value):
         self.summary[key] = value
         if self.path:
             with open(self.path + ".summary", "w") as f:
                 json.dump(self.summary, f, indent=2)
+        if self.sink is not None:
+            self.sink.set_summary(key, value)
 
 
 def count_params(tree) -> int:

@@ -34,6 +34,11 @@ def build_parser():
     parser = ConfigArgumentParser(
         description="GraphTrans on TPU (JAX/XLA/Pallas)")
     parser.add_argument("--wandb_run_idx", type=str, default=None)
+    parser.add_argument("--wandb", action="store_true", default=False,
+                        help="mirror metrics to wandb (reference main.py:24; "
+                             "optional import — warns and continues when the "
+                             "package is absent)")
+    parser.add_argument("--wandb_project", type=str, default="graph-aug")
     parser.add_argument("--data_root", type=str, default="data_root")
     parser.add_argument("--dataset", type=str, default="ogbg-code",
                         help="dataset name (default: ogbg-code)")
@@ -292,7 +297,13 @@ def main():
         random.seed(args.seed)
         np.random.seed(args.seed)
 
-    metrics_log = MetricsLogger(os.path.join(args.save_path, "metrics.jsonl"), run_name)
+    sink = None
+    if getattr(args, "wandb", False):
+        from graphtrans_tpu.utils.logging import WandbSink
+
+        sink = WandbSink(args.wandb_project, run_name, config=vars(args))
+    metrics_log = MetricsLogger(os.path.join(args.save_path, "metrics.jsonl"),
+                                run_name, sink=sink)
 
     bundle = dataset_util.preprocess(args, model_cls, seed=args.seed)
     calc_loss = dataset_util.loss_fn(bundle.task_type)
@@ -568,6 +579,10 @@ def main():
         logger.info(f"Run {run_id} - val: {v}, test: {t}")
     logger.info(f"Average val: {np.mean(vals)} ± {np.std(vals)}")
     logger.info(f"Average test: {np.mean(tests)} ± {np.std(tests)}")
+    metrics_log.set_summary("avg/valid", float(np.mean(vals)))
+    metrics_log.set_summary("avg/test", float(np.mean(tests)))
+    if sink is not None:
+        sink.finish()
     return np.mean(vals), np.mean(tests)
 
 
