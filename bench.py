@@ -263,6 +263,41 @@ def time_steps(step, state, batch, rng, warmup=3, iters=20):
     return max(t[k_long] - t[k_short], 1e-9) / (k_long - k_short)
 
 
+def measure_code2(workload, batch_size, precision, prng, mode, iters):
+    """Measure the code2-shaped workload (GCN-virtual or PNA flagship on the
+    flat scatter-free path) and return its JSON record."""
+    bs = batch_size if batch_size != 4096 else 512
+    state, step, batch, model = build_code2(
+        batch_size=bs, precision=precision,
+        model="pna-transformer" if workload == "code2_pna"
+        else "gnn-transformer", want_model=True)
+    rng = jax.random.key(0)
+    edges = int(np.asarray(batch.edge_mask).sum())
+    batch = jax.device_put(batch)
+    if mode == "eval":
+        emb = 272 if workload == "code2_pna" else 300
+        dt = time_eval(model, state, batch, emb, iters=iters)
+    else:
+        dt = time_steps(step, state, batch, rng, iters=iters)
+    return {
+        "metric": f"{mode}_edges_per_sec_per_chip",
+        "value": round(edges / dt, 1),
+        "unit": "edges/s",
+        "vs_baseline": None,
+        "detail": {
+            "workload": workload, "layout": "flat",
+            "precision": precision, "prng": prng,
+            "batch_size": bs, "edges": edges, "mode": mode,
+            "step_ms": round(dt * 1e3, 2),
+            "note": "code2-shaped ASTs on the flat segment path (the "
+                    "production route for graphs beyond the dense-"
+                    "layout regime); no reference-GPU estimate exists "
+                    "for this workload",
+            "device": str(jax.devices()[0].device_kind),
+        },
+    }
+
+
 def main():
     from graphtrans_tpu.utils.cache import enable_compilation_cache
 
@@ -295,41 +330,19 @@ def main():
                    choices=["train", "eval"],
                    help="eval = time the inference forward (serving-side "
                         "throughput) instead of the training step")
+    p.add_argument("--skip_extra_workloads", action="store_true",
+                   help="headline (mol/train) mode also measures the code2 "
+                        "and code2_pna workloads and embeds their lines in "
+                        "detail.workloads so the round artifact records all "
+                        "three; this skips them")
     args = p.parse_args()
 
     jax.config.update("jax_default_prng_impl", args.prng)
 
     if args.workload in ("code2", "code2_pna"):
-        bs = args.batch_size if args.batch_size != 4096 else 512
-        state, step, batch, model = build_code2(
-            batch_size=bs, precision=args.precision,
-            model="pna-transformer" if args.workload == "code2_pna"
-            else "gnn-transformer", want_model=True)
-        rng = jax.random.key(0)
-        edges = int(np.asarray(batch.edge_mask).sum())
-        batch = jax.device_put(batch)
-        if args.mode == "eval":
-            emb = 272 if args.workload == "code2_pna" else 300
-            dt = time_eval(model, state, batch, emb, iters=args.iters)
-        else:
-            dt = time_steps(step, state, batch, rng, iters=args.iters)
-        print(json.dumps({
-            "metric": f"{args.mode}_edges_per_sec_per_chip",
-            "value": round(edges / dt, 1),
-            "unit": "edges/s",
-            "vs_baseline": None,
-            "detail": {
-                "workload": args.workload, "layout": "flat",
-                "precision": args.precision, "prng": args.prng,
-                "batch_size": bs, "edges": edges, "mode": args.mode,
-                "step_ms": round(dt * 1e3, 2),
-                "note": "code2-shaped ASTs on the flat segment path (the "
-                        "production route for graphs beyond the dense-"
-                        "layout regime); no reference-GPU estimate exists "
-                        "for this workload",
-                "device": str(jax.devices()[0].device_kind),
-            },
-        }))
+        rec = measure_code2(args.workload, args.batch_size, args.precision,
+                            args.prng, args.mode, args.iters)
+        print(json.dumps(rec))
         return
 
     state, step, batch, model = build(batch_size=args.batch_size,
@@ -385,12 +398,30 @@ def main():
     flops_exec, flops_useful = flagship_flops(batch)
     peak = args.peak_tflops * 1e12
 
+    # record the OTHER production workloads in the same artifact line
+    # (the round driver captures exactly one JSON line)
+    workloads = {}
+    if not args.skip_extra_workloads:
+        for wl in ("code2", "code2_pna"):
+            try:
+                workloads[wl] = measure_code2(
+                    wl, args.batch_size, args.precision, args.prng, "train",
+                    max(args.iters // 2, 4))
+            except Exception as e:  # never lose the headline to a side arm
+                workloads[wl] = {"error": repr(e)}
+
     print(json.dumps({
         "metric": "train_edges_per_sec_per_chip",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / REFERENCE_GPU_EDGES_PER_S, 3),
+        # measured-on-chip headline companions (vs_baseline rests on a
+        # documented ESTIMATE of the reference GPU stack; these two are
+        # the defensible numbers and ride at top level on purpose)
+        "vs_naive_scatter": round(edges_per_s / baseline_edges_per_s, 3),
+        "mfu_useful": round(flops_useful / dt / peak, 4),
         "detail": {
+            "workloads": workloads,
             "layout": args.layout,
             "precision": args.precision,
             "prng": args.prng,
