@@ -69,11 +69,11 @@ class MaskedBlock(nn.Module):
         ])
         drop = lambda t: ByteDropout(self.dropout)(t, deterministic=not training)
         if self.prenorm:
-            x = x + attn(nn.LayerNorm()(x), adj_mask, valid, training)
-            x = x + drop(mlp(nn.LayerNorm()(x)))
+            x = x + attn(nn.LayerNorm(epsilon=1e-5)(x), adj_mask, valid, training)
+            x = x + drop(mlp(nn.LayerNorm(epsilon=1e-5)(x)))
         else:
-            x = nn.LayerNorm()(x + attn(x, adj_mask, valid, training))
-            x = nn.LayerNorm()(x + drop(mlp(x)))
+            x = nn.LayerNorm(epsilon=1e-5)(x + attn(x, adj_mask, valid, training))
+            x = nn.LayerNorm(epsilon=1e-5)(x + drop(mlp(x)))
         return x
 
 

@@ -383,11 +383,11 @@ class TransformerEncoderLayer(nn.Module):
         a = MultiheadSelfAttention(self.d_model, self.nhead, self.dropout)(
             x, key_valid, training, block=block
         )
-        x = nn.LayerNorm()(x + drop(a))
+        x = nn.LayerNorm(epsilon=1e-5)(x + drop(a))
         f = TDense(self.dim_feedforward)(x)
         f = drop(act(f))
         f = TDense(self.d_model)(f)
-        x = nn.LayerNorm()(x + drop(f))
+        x = nn.LayerNorm(epsilon=1e-5)(x + drop(f))
         return x
 
 
@@ -427,7 +427,7 @@ class TransformerNodeEncoder(nn.Module):
             dense = jnp.concatenate([dense, cls_col], axis=1)
             valid = jnp.concatenate([valid, jnp.ones((B, 1), bool)], axis=1)
         if self.norm_input:
-            dense = nn.LayerNorm(name="norm_input")(dense)
+            dense = nn.LayerNorm(epsilon=1e-5, name="norm_input")(dense)
         dense = self._sp(dense)
 
         # graph-packed layout (see set_attn_backend): run the whole stack on
@@ -456,7 +456,7 @@ class TransformerNodeEncoder(nn.Module):
                 self.activation, name=f"layer_{i}",
             )(dense, layer_valid, training, block=block)
             dense = self._sp(dense)
-        dense = nn.LayerNorm(name="final_norm")(dense)
+        dense = nn.LayerNorm(epsilon=1e-5, name="final_norm")(dense)
         if gb > 1:
             dense = dense.reshape(-1, S, self.d_model)[:B]
         return dense, valid

@@ -26,7 +26,7 @@ dropout — the XLA path's ByteDropout quantizes keep to 1/256; both honor
 torch semantics, attention probabilities normalized by the undropped
 denominator).
 
-LayerNorm matches flax nn.LayerNorm defaults (eps 1e-6, fast variance,
+LayerNorm matches the module's torch-parity eps 1e-5 (fast variance,
 f32 statistics). Requires d % 128 == 0 and packed S' <= 128; the caller
 (nn/transformer.TransformerEncoderLayer) falls back to the unfused path
 otherwise. Parity-tested against the unfused composition with shared
@@ -57,7 +57,7 @@ from .attention_packed import (_head_masks, _keep_mask, _prec, attn_bwd_math,
 BT = 8        # batch rows (packed graph-rows) per grid step (f32 keep
               # masks put the BT=8 backward at 17.96 MB vs the 16 MB scoped
               # VMEM limit; bf16 keep masks bring it back under)
-EPS = 1e-6    # flax nn.LayerNorm default
+EPS = 1e-5    # torch nn.LayerNorm default (reference semantics)
 STREAMS = 3   # dropout streams beyond the attention heads
 
 

@@ -46,13 +46,19 @@ class FlagTrainer(BaseTrainer):
         emb_dim = args.gnn_emb_dim
         cast = make_param_cast(args)
 
-        def grad_fn(state: TrainState, batch, rng):
+        def grad_fn(state: TrainState, batch, rng, perturb0=None):
             rng = jax.random.fold_in(rng, state.step)
             pk, dk = jax.random.split(rng)
             n_nodes = batch.node_mask.shape[0]
-            perturb = jax.random.uniform(
-                pk, (n_nodes, emb_dim), jnp.float32, -step_size, step_size
-            )
+            if perturb0 is not None:
+                # caller-supplied initial noise (cross-framework parity
+                # harness, tools/train_parity.py) — the ascent itself is
+                # unchanged
+                perturb = perturb0
+            else:
+                perturb = jax.random.uniform(
+                    pk, (n_nodes, emb_dim), jnp.float32, -step_size, step_size
+                )
 
             def loss_fn(params, perturb, batch_stats, drop_rng):
                 out, mut = model.apply(
