@@ -42,6 +42,8 @@ class GraphLoader:
         fixed_caps: Optional[tuple] = None,
         drop_overflow: bool = True,
         num_shards: int = 1,
+        process_count: int = 1,
+        process_index: int = 0,
         use_native: bool = True,
         collate_workers: int = 1,
         native_threads: int = 0,
@@ -91,6 +93,15 @@ class GraphLoader:
         self.max_input_len = max_input_len
         self.with_dense_adj = with_dense_adj
         self.num_shards = num_shards
+        # multi-host data sharding (parallel/multihost.py): num_shards is the
+        # GLOBAL shard count; each process collates only its own slice of the
+        # deterministic global batch plan and stacks num_shards/process_count
+        # local sub-batches.
+        if process_count > 1 and num_shards % process_count != 0:
+            raise ValueError(f"num_shards {num_shards} must divide evenly "
+                             f"over {process_count} processes")
+        self.process_count = process_count
+        self.process_index = process_index
         if fixed_caps is None:
             fixed_caps = dataset_caps(self.graphs, batch_size)
         self.node_cap, self.edge_cap = fixed_caps
@@ -293,20 +304,54 @@ class GraphLoader:
         self.epoch += 1
 
         plans = self._plan_chunks(order)
+        stack_n = self.num_shards
+        if self.process_count > 1:
+            plans = self._local_plans(plans)
+            stack_n = self.num_shards // self.process_count
+        kept = lambda p: None if p is None else self._collate_kept(p)
         if self.collate_workers > 1 and len(plans) > 1:
             # parallel ordered collation: numpy and the native batcher both
             # release the GIL, so worker threads scale with cores
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=self.collate_workers) as ex:
-                batches = ex.map(self._collate_kept, plans)
-                yield from self._emit(batches, jax)
+                batches = ex.map(kept, plans)
+                yield from self._emit(batches, jax, stack_n)
         else:
-            yield from self._emit(map(self._collate_kept, plans), jax)
+            yield from self._emit(map(kept, plans), jax, stack_n)
 
-    def _emit(self, batches, jax):
+    def _local_plans(self, plans):
+        """Multi-host slice of the global batch plan: group the epoch's plans
+        into global steps of num_shards, drop globally-degenerate tail groups
+        (every process must agree on the step count — a locally-empty shard
+        is safe under sync-BN, a globally <=1-graph batch is not), and keep
+        only this process's shard slots, padding short tails with `None`
+        (emitted as all-masked zero batches)."""
+        D = self.num_shards
+        L = D // self.process_count
+        lo = self.process_index * L
+        local = []
+        for i in range(0, len(plans), D):
+            group = plans[i:i + D]
+            if sum(len(p) for p in group) <= 1:
+                continue  # deterministic on every process: sizes only
+            mine = list(group[lo:lo + L])
+            while len(mine) < L:
+                mine.append(None)
+            local.extend(mine)
+        if not local:
+            raise ValueError(
+                "dataset too small for one global multi-host batch group "
+                f"({len(plans)} plans for {D} global shards)")
+        return local
+
+    def _emit(self, batches, jax, stack_n=None):
+        stack_n = self.num_shards if stack_n is None else stack_n
+        template = None  # zeroed sub-batch: all-False masks contribute nothing
         shard_buf = []
         for batch in batches:
+            if batch is not None and template is None:
+                template = jax.tree_util.tree_map(np.zeros_like, batch)
             if self.hybrid_shards > 1:
                 from ..parallel.hybrid import shard_batch_for_hybrid
 
@@ -316,19 +361,27 @@ class GraphLoader:
                     halo_multiple=256, edge_multiple=1024,
                 )
                 yield local
-            elif self.num_shards == 1:
+            elif stack_n == 1 and self.process_count == 1:
                 yield batch
             else:
                 shard_buf.append(batch)
-                if len(shard_buf) == self.num_shards:
+                if len(shard_buf) == stack_n:
+                    if template is None:
+                        raise ValueError(
+                            "multi-host shard group with no real local batch "
+                            "before any template — dataset too small for "
+                            "this process grid")
                     yield jax.tree_util.tree_map(
-                        lambda *xs: np.stack(xs, axis=0), *shard_buf
+                        lambda *xs: np.stack(xs, axis=0),
+                        *[b if b is not None else template for b in shard_buf]
                     )
                     shard_buf = []
         # tail: pad missing shards with an all-masked-out empty batch
         # (zeroed arrays have all-False masks, so they contribute nothing)
         if shard_buf:
-            empty = jax.tree_util.tree_map(np.zeros_like, shard_buf[-1])
-            while len(shard_buf) < self.num_shards:
-                shard_buf.append(empty)
+            if template is None:
+                raise ValueError("shard tail with no real batch to zero-pad")
+            shard_buf = [b if b is not None else template for b in shard_buf]
+            while len(shard_buf) < stack_n:
+                shard_buf.append(template)
             yield jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *shard_buf)

@@ -35,10 +35,12 @@ def _squeeze0(tree):
     return jax.tree_util.tree_map(lambda x: x[0], tree)
 
 
-def make_dp_train_step(trainer, model, calc_loss, tx, args,
-                       gnn_subtree: str, n_shards: int,
-                       donate: bool = True) -> Callable:
-    mesh = make_mesh(dp=n_shards)
+def make_dp_body(trainer, model, calc_loss, tx, args, gnn_subtree: str):
+    """The per-shard DP step body (runs inside shard_map over 'data'):
+    local grads on the local sub-batch, count-weighted psum reduction,
+    replicated optimizer update. Shared by the single-process DP path and
+    the multi-host path (parallel/multihost.py) — the math is identical;
+    only input assembly differs."""
     grad_fn = trainer.make_grad_fn(model, calc_loss, args)
     weight_fn = getattr(calc_loss, "weight_fn", losses.graph_count_weight)
 
@@ -54,6 +56,15 @@ def make_dp_train_step(trainer, model, calc_loss, tx, args,
         # sync-BN (axis_name='data') already made new_bs identical on every
         # shard; no extra collective needed.
         return apply_update(state, grads, new_bs, loss, tx, gnn_subtree)
+
+    return body
+
+
+def make_dp_train_step(trainer, model, calc_loss, tx, args,
+                       gnn_subtree: str, n_shards: int,
+                       donate: bool = True) -> Callable:
+    mesh = make_mesh(dp=n_shards)
+    body = make_dp_body(trainer, model, calc_loss, tx, args, gnn_subtree)
 
     sharded = shard_map(
         body, mesh=mesh,

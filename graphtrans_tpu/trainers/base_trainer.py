@@ -118,19 +118,25 @@ class BaseTrainer:
     @classmethod
     def train(cls, step_fn, state, loader, rng, log_every: int = 50,
               log_fn: Optional[Callable] = None, stats: Optional[dict] = None,
-              prefetch: int = 2):
+              prefetch: int = 2, skip_degenerate: bool = True):
         """One epoch. The degenerate-batch check and throughput counters run
         on the HOST numpy batch; a worker thread then device_puts upcoming
         batches (`prefetch` in flight) so H2D transfer overlaps the current
         step, and the loss stays an on-device scalar until the epoch mean —
-        steps dispatch asynchronously."""
+        steps dispatch asynchronously.
+
+        skip_degenerate=False is the multi-host mode: a LOCAL check could
+        skip a step on one process but not another and deadlock the
+        collectives; there the loader already drops globally-degenerate
+        batch groups (GraphLoader._local_plans) and sync-BN makes locally
+        empty shards safe."""
         from ..data.prefetch import device_prefetch
 
         def host_side():
             for i, batch in enumerate(loader):
                 n_nodes = int(np.asarray(batch.node_mask).sum())
                 n_graphs = int(np.asarray(batch.graph_mask).sum())
-                if n_nodes <= 1 or n_graphs <= 1:
+                if skip_degenerate and (n_nodes <= 1 or n_graphs <= 1):
                     continue
                 if stats is not None:
                     stats["edges"] = stats.get("edges", 0) + int(np.asarray(batch.edge_mask).sum())

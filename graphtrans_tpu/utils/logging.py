@@ -19,7 +19,13 @@ class Logger:
         if logfile:
             os.makedirs(os.path.dirname(logfile), exist_ok=True)
 
+    def remove(self):
+        """Silence this logger (multi-host non-primary processes)."""
+        self._silenced = True
+
     def _emit(self, level, msg):
+        if getattr(self, "_silenced", False):
+            return
         ts = time.strftime("%Y-%m-%d %H:%M:%S")
         line = f"{ts} | {level:<7} | {msg}"
         print(line, file=sys.stderr, flush=True)

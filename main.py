@@ -88,6 +88,18 @@ def build_parser():
                             "transformer activations along the node axis "
                             "over the 'model' mesh axis (requires "
                             "--tp_shards > 1)")
+    group.add_argument("--multihost", action="store_true", default=False,
+                       help="multi-process (multi-host / DCN) execution: "
+                            "jax.distributed.initialize + per-process data "
+                            "sharding + DP over the GLOBAL device mesh "
+                            "(parallel/multihost.py). Every process runs "
+                            "this same command; --dp_shards is the GLOBAL "
+                            "shard count")
+    group.add_argument("--coordinator_address", type=str, default=None,
+                       help="host:port of process 0's coordinator (omit on "
+                            "TPU pods for metadata auto-discovery)")
+    group.add_argument("--num_processes", type=int, default=None)
+    group.add_argument("--process_id", type=int, default=None)
     group.add_argument("--hybrid_shards", type=int, default=1,
                        help="node-sharded (halo-exchange) execution over the "
                             "mesh — gnn-transformer with gnn_type=gin only")
@@ -161,7 +173,7 @@ def resolve_dense_layout(args) -> bool:
                 and getattr(args, "num_encoder_layers_masked", 0) == 0))
 
 
-def make_loaders(bundle, args, num_shards=1):
+def make_loaders(bundle, args, num_shards=1, process_count=1, process_index=0):
     all_graphs = sum(bundle.splits.values(), [])
     eval_bs = args.batch_size if args.eval_batch_size is None else args.eval_batch_size
     caps = dataset_caps(all_graphs, max(args.batch_size, eval_bs))
@@ -207,25 +219,26 @@ def make_loaders(bundle, args, num_shards=1):
                                     bucket_size(max_e, 8))
     train_loader = GraphLoader(bundle.splits["train"], args.batch_size,
                                shuffle=True, seed=args.seed or 0,
-                               num_shards=num_shards, **common)
+                               num_shards=num_shards,
+                               process_count=process_count,
+                               process_index=process_index, **common)
     # evaluation always runs on plain (unsharded) batches — hybrid node
-    # sharding is a training-scale concern
+    # sharding is a training-scale concern. Under multi-host, eval runs
+    # LOCALLY on every process over the full split (identical metrics
+    # everywhere, no cross-process collectives to keep in lockstep).
     common_eval = dict(common, hybrid_shards=1)
+    eval_shards = 1 if process_count > 1 else num_shards
     train_eval = GraphLoader(bundle.splits["train"], eval_bs,
-                             num_shards=num_shards, **common_eval)
+                             num_shards=eval_shards, **common_eval)
     valid_loader = GraphLoader(bundle.splits["valid"], eval_bs,
-                               num_shards=num_shards, **common_eval)
+                               num_shards=eval_shards, **common_eval)
     test_loader = GraphLoader(bundle.splits["test"], eval_bs,
-                              num_shards=num_shards, **common_eval)
+                              num_shards=eval_shards, **common_eval)
     return train_loader, train_eval, valid_loader, test_loader
 
 
 def main():
     import jax
-
-    from graphtrans_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
 
     parser = build_parser()
     args, _ = parser.parse_known_args()
@@ -251,8 +264,27 @@ def main():
     if args.use_gspmd and args.hybrid_shards > 1:
         raise SystemExit("--tp_shards/--sp and --hybrid_shards are exclusive")
     args.sp_axis = "model" if args.sp else None
+    if args.multihost:
+        if args.use_gspmd or args.hybrid_shards > 1:
+            raise SystemExit("--multihost currently composes with shard_map "
+                             "DP only (--dp_shards)")
+        # must run before the backend initializes (first device access)
+        from graphtrans_tpu.parallel.multihost import initialize, is_primary
+
+        initialize(args)
+        if args.dp_shards % jax.process_count() != 0:
+            raise SystemExit(f"--dp_shards {args.dp_shards} must divide "
+                             f"evenly over {jax.process_count()} processes")
+        if not is_primary():
+            # one process owns logging/checkpoints/metrics; the others train
+            logger.remove()
     args.bn_axis_name = "data" if ((args.dp_shards > 1 and not args.use_gspmd)
-                                   or args.hybrid_shards > 1) else None
+                                   or args.hybrid_shards > 1
+                                   or args.multihost) else None
+    # after jax.distributed.initialize (backend probing inits the runtime)
+    from graphtrans_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args.graph_reduce_axis = "data" if args.hybrid_shards > 1 else None
     # GSPMD consumes ONE logical batch (jit shards it over 'data'); only the
     # shard_map DP path wants loader-side stacked shard batches
@@ -318,13 +350,17 @@ def main():
         for split in ("train", "test"):
             bundle.splits[split] = [data_transform(g) for g in bundle.splits[split]]
 
-    loaders = make_loaders(bundle, args, num_shards=args.loader_shards)
+    mh_pc = jax.process_count() if args.multihost else 1
+    mh_pi = jax.process_index() if args.multihost else 0
+    loaders = make_loaders(bundle, args, num_shards=args.loader_shards,
+                           process_count=mh_pc, process_index=mh_pi)
 
     def run(run_id):
         nonlocal bundle, loaders
         if getattr(dataset_util, "resplit_per_run", False) and run_id > 0:
             bundle = dataset_util.preprocess(args, model_cls, seed=(args.seed or 0) + run_id)
-            loaders = make_loaders(bundle, args, num_shards=args.loader_shards)
+            loaders = make_loaders(bundle, args, num_shards=args.loader_shards,
+                                   process_count=mh_pc, process_index=mh_pi)
         train_loader, train_eval, valid_loader, test_loader = loaders
 
         node_encoder = bundle.node_encoder_cls()
@@ -409,6 +445,33 @@ def main():
                 return step_inner(state, gspmd.place_batch(batch, mesh), rng)
 
             fwd = gspmd.make_gspmd_eval_fn(model, mesh)
+        elif args.multihost:
+            import copy
+
+            from graphtrans_tpu.parallel import multihost
+
+            step_fn = multihost.make_mh_dp_train_step(
+                trainer, model, calc_loss, tx, args, model_cls.gnn_subtree,
+                args.dp_shards)
+            # eval runs LOCALLY per process on a host copy of the replicated
+            # params (identical metrics everywhere, no collectives to keep in
+            # lockstep); the eval twin unbinds the sync-BN axis name
+            eval_args = copy.copy(args)
+            eval_args.bn_axis_name = None
+            eval_model = model_cls.build(bundle.num_tasks, eval_args,
+                                         node_encoder, bundle.edge_encoder_cls,
+                                         deg=bundle.deg)
+            eval_jit = jax.jit(lambda p, bs, b: eval_model.apply(
+                {"params": p, "batch_stats": bs}, b, None, False))
+            host_cache = {}
+
+            def fwd(params, batch_stats, batch):
+                if host_cache.get("ref") is not params:
+                    host_cache["ref"] = params
+                    host_cache["host"] = (multihost.host_copy(params),
+                                          multihost.host_copy(batch_stats))
+                hp_, hbs_ = host_cache["host"]
+                return eval_jit(hp_, hbs_, batch)
         elif args.dp_shards > 1:
             from graphtrans_tpu.parallel.dp import make_dp_train_step, make_dp_eval_fn
 
@@ -420,6 +483,17 @@ def main():
                                               gnn_subtree=model_cls.gnn_subtree)
             fwd = jax.jit(lambda params, batch_stats, batch: model.apply(
                 {"params": params, "batch_stats": batch_stats}, batch, None, False))
+
+        # multi-host: one process owns checkpoint writes (all processes
+        # compute identical replicated state; non-primary writes would race
+        # on a shared filesystem)
+        if args.multihost:
+            from graphtrans_tpu.parallel.multihost import is_primary
+
+            save_ckpt = (ckpt.save_checkpoint if is_primary()
+                         else lambda *a, **k: None)
+        else:
+            save_ckpt = ckpt.save_checkpoint
 
         run_dir = os.path.join(args.save_path, str(run_id))
         os.makedirs(run_dir, exist_ok=True)
@@ -500,7 +574,9 @@ def main():
                 prof_ctx = _jprof.trace(args.profile_dir)
                 prof_ctx.__enter__()
             state, loss = trainer.train(step_fn, state, train_loader, rng,
-                                        stats=stats)
+                                        stats=stats,
+                                        prefetch=0 if args.multihost else 2,
+                                        skip_degenerate=not args.multihost)
             if prof_ctx is not None:
                 prof_ctx.__exit__(None, None, None)
                 logger.info(f"profiler trace written to {args.profile_dir}")
@@ -522,7 +598,7 @@ def main():
 
             if args.checkpoint_every_epoch or term_requested["flag"]:
                 extra = {"plateau": plateau.state_dict()} if plateau else {}
-                ckpt.save_checkpoint(last_path, state, epoch, extra,
+                save_ckpt(last_path, state, epoch, extra,
                                      backend=args.ckpt_backend)
                 if term_requested["flag"]:
                     ckpt.wait_for_async()
@@ -552,13 +628,13 @@ def main():
                 })
                 logger.info(f"Run {run_id} - train: {tm:.4f}, val: {vm:.4f}, test: {sm:.4f}")
                 extra = {"plateau": plateau.state_dict()} if plateau else {}
-                ckpt.save_checkpoint(last_path, state, epoch, extra,
+                save_ckpt(last_path, state, epoch, extra,
                                      backend=args.ckpt_backend)
                 if best_val < vm:
                     best_val, final_test = vm, sm
                     metrics_log.set_summary(f"best/valid/{bundle.eval_metric}-runs{run_id}", vm)
                     metrics_log.set_summary(f"best/test/{bundle.eval_metric}-runs{run_id}", sm)
-                    ckpt.save_checkpoint(best_path, state, epoch, extra,
+                    save_ckpt(best_path, state, epoch, extra,
                                          backend=args.ckpt_backend)
 
         signal.signal(signal.SIGTERM, old_handler)
