@@ -452,7 +452,7 @@ def write_md(out, arms, path):
             "",
             "| check | value | band | pass |",
             "|---|---|---|---|",
-            f"| first-10-step max rel loss diff | {s['early_max_rel_diff']:.2e} | < 5e-3 | {v['early_steps_match']} |",
+            f"| first-10-step max rel loss diff | {s['early_max_rel_diff']:.2e} | < {'3e-2 (sign-ascent chaos)' if name == 'flag' else '5e-3'} | {v['early_steps_match']} |",
             f"| final epoch loss gap | {s['loss_gap']:.4f} | <= {s['loss_noise_band']:.4f} (2SE+eps) | {v['final_loss_within_noise']} |",
             f"| test accuracy gap | {s['acc_gap']:.4f} | <= {s['acc_noise_band']:.4f} (2SE+eps) | {v['test_acc_within_noise']} |",
             f"| paired-curve distance | {s['paired_curve_dist']:.4f} | <= 1.5x seed spread {s['seed_spread']:.4f} | {v['curves_within_seed_spread']} |",
