@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import jax
@@ -410,6 +412,23 @@ def main():
             except Exception as e:  # never lose the headline to a side arm
                 workloads[wl] = {"error": repr(e)}
 
+    # chip-side kernel exactness smoke (tools/tpu_smoke.py): every benched
+    # build re-proves the compiled Mosaic kernels against XLA references so
+    # layout/Mosaic regressions are caught mechanically, not by perf drift
+    smoke = None
+    if not args.skip_extra_workloads:
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            import tpu_smoke
+
+            smoke = tpu_smoke.run_all()
+            smoke = {"ok": smoke["ok"],
+                     "failed": [k for k, v in smoke["checks"].items()
+                                if not v["ok"]]}
+        except Exception as e:  # never lose the headline to the smoke
+            smoke = {"ok": False, "error": repr(e)}
+
     print(json.dumps({
         "metric": "train_edges_per_sec_per_chip",
         "value": round(edges_per_s, 1),
@@ -422,6 +441,7 @@ def main():
         "mfu_useful": round(flops_useful / dt / peak, 4),
         "detail": {
             "workloads": workloads,
+            "kernel_smoke": smoke,
             "layout": args.layout,
             "precision": args.precision,
             "prng": args.prng,

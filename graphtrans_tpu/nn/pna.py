@@ -94,8 +94,7 @@ class PNAConv(nn.Module):
             # ELL-layout K-axis reductions (ops/ell.py). Every [E, C]
             # message tensor and every serialized segment scatter (measured
             # 16 ms EACH for min/max at code2 scale) disappears.
-            from ..ops.ell import ell_minmax
-            from ..ops.scatter_free import scatterfree_gather_message_scatter
+            from ..ops.ell import ell_multi
 
             C = T * Ft
             xiproj = (jnp.einsum("ntf,tfo->nto", xt, w_pre[:, :Ft])
@@ -103,31 +102,34 @@ class PNAConv(nn.Module):
             xjproj = jnp.einsum("ntf,tfo->nto", xt,
                                 w_pre[:, Ft:]).reshape(N, C)
 
-            def ssum(v):
-                return scatterfree_gather_message_scatter(
-                    v, None, None, None, None, batch.sfa_dst, batch.sfa_src,
-                    batch.sfa_nb, "copy")
+            # ONE K-column pass produces every reduction the aggregator set
+            # needs (ops/ell.ell_multi): each slot column is a row gather
+            # fused into its running update, so no [E, C] or [slots, C]
+            # tensor ever materializes — the round-3 profile showed the
+            # previous scatter-free sums paying a 14 ms materialized slot
+            # gather per call (the one-hot dot forces its operand to HBM).
+            want_sq = ("std" in self.aggregators) or ("var" in self.aggregators)
+            want_mm = ("max" in self.aggregators) or ("min" in self.aggregators)
+            s1, s2, mxb, mnb = ell_multi(
+                xjproj, batch.ell_dst, batch.ell_src,
+                batch.ell_k_in, batch.ell_k_out, want_sq, want_mm)
 
             deg_raw = batch.ell_dst["mask"].reshape(N, -1).sum(axis=1)
             deg_safe = jnp.maximum(deg_raw, 1.0)[:, None].astype(x.dtype)
             has = (deg_raw > 0)[:, None]
-            s1 = ssum(xjproj)
             mean_b = s1 / deg_safe
             aggs = {}
             if "sum" in self.aggregators:
                 aggs["sum"] = deg_raw[:, None].astype(x.dtype) * xiproj + s1
             if "mean" in self.aggregators:
                 aggs["mean"] = jnp.where(has, xiproj + mean_b, 0)
-            if "std" in self.aggregators or "var" in self.aggregators:
-                s2 = ssum((xjproj * xjproj).astype(x.dtype))
+            if want_sq:
                 var = jax.nn.relu(s2 / deg_safe - mean_b * mean_b)
                 if "std" in self.aggregators:
                     aggs["std"] = jnp.sqrt(var + 1e-5)
                 if "var" in self.aggregators:
                     aggs["var"] = var
-            if "max" in self.aggregators or "min" in self.aggregators:
-                mxb, mnb = ell_minmax(xjproj, batch.ell_dst, batch.ell_src,
-                                      batch.ell_k_in, batch.ell_k_out)
+            if want_mm:
                 aggs["max"] = jnp.where(has, xiproj + mxb, 0)
                 aggs["min"] = jnp.where(has, xiproj + mnb, 0)
             stacked = []
@@ -154,40 +156,64 @@ class PNAConv(nn.Module):
         # downstream model back to f32 under --precision bf16)
         deg_f32 = deg.astype(jnp.float32)
         log_deg_f32 = jnp.log(deg_f32 + 1.0)
+        pieces = []
         for agg_name in self.aggregators:
             if agg_name == "sum" and aggs.get(agg_name) is None:
                 a = segment_sum(msg.reshape(-1, T * Ft), batch.edge_dst, N, mask=batch.edge_mask)
             else:
                 a = aggs[agg_name]
-            # keep the tower axis explicit: concatenating at [N, T, Ft]
-            # granularity lands directly in the post-linear's (s, a, ft)
-            # per-tower layout — the old [N, S*A, T, Ft] transpose was a
-            # ~2.6 ms layout copy per layer at code2 scale
-            stacked.append(a.reshape(N, T, Ft))
-        out3 = jnp.concatenate(stacked, axis=-1)  # [N, T, A*Ft]
+            pieces.append(a.reshape(N, T, Ft))
 
-        scaled = []
-        for sc in self.scalers:
+        def _factor(sc):
             if sc == "identity":
-                scaled.append(out3)
-                continue
+                return None
             if sc == "amplification":
-                factor = log_deg_f32 / self.avg_deg_log
-            elif sc == "attenuation":
-                factor = self.avg_deg_log / log_deg_f32
-            elif sc == "linear":
-                factor = deg_f32 / self.avg_deg_lin
-            elif sc == "inverse_linear":
-                factor = self.avg_deg_lin / deg_f32
-            else:
-                raise ValueError(sc)
-            scaled.append(out3 * factor.astype(x.dtype)[:, None, None])
-        out = jnp.concatenate(scaled, axis=-1)  # [N, T, S*A*Ft] (s, a, ft)
-        out = jnp.concatenate([xt, out], axis=-1)
+                return log_deg_f32 / self.avg_deg_log
+            if sc == "attenuation":
+                return self.avg_deg_log / log_deg_f32
+            if sc == "linear":
+                return deg_f32 / self.avg_deg_lin
+            if sc == "inverse_linear":
+                return self.avg_deg_lin / deg_f32
+            raise ValueError(sc)
+
+        # The post-linear reads concat([xt] + [piece*f for every
+        # (scaler, aggregator)]) — but MATERIALIZING that concat cost
+        # 12 ms/layer at code2 scale (XLA picks a transposed {0,2,1} layout
+        # for the [N, T, (1+S*A)*Ft] tensor). Compute the matmul as a SUM of
+        # per-piece einsums against w_post fan-in slices instead, with the
+        # per-node scaler factor pulled OUT of the matmul
+        # ((a*f) @ W == f * (a @ W), f is per-node scalar): the concat
+        # tensor never exists, FLOPs unchanged, fan-in slice order matches
+        # the reference concat layout exactly (same params, same math).
         fan = (1 + S * A) * Ft
         w_post = self.param("post_w", _tower_linear_init(fan), (T, fan, Ft))
         b_post = self.param("post_b", _tower_linear_init(fan), (T, Ft))
-        out = jnp.einsum("ntf,tfo->nto", out, w_post) + b_post
+
+        def wslice(o):
+            return jax.lax.slice_in_dim(w_post, o, o + Ft, axis=1)
+
+        def pe(t3, o):
+            return jnp.einsum("ntf,tfo->nto", t3, wslice(o),
+                              preferred_element_type=jnp.float32)
+
+        # NEGATIVE RESULT (round 3, measured): converting this layer to flat
+        # block-diagonal [C, C] matmuls to kill the T-major relayout copies
+        # measured 266 ms vs 259 — the 4x FLOP inflation costs more than the
+        # ~24 ms/layer of {0,1}-layout traffic it removes. The per-piece
+        # einsum sum below (no materialized concat) is the measured optimum.
+        acc = pe(xt, 0)
+        bias = b_post.astype(jnp.float32)
+        off = Ft
+        for sc in self.scalers:
+            f = _factor(sc)
+            sacc = None
+            for piece in pieces:
+                y = pe(piece, off)
+                sacc = y if sacc is None else sacc + y
+                off += Ft
+            acc = acc + (sacc if f is None else sacc * f[:, None, None])
+        out = (acc + bias).astype(x.dtype)
         out = out.reshape(N, F)
 
         w_lin = self.param("lin_w", _tower_linear_init(F), (F, F))

@@ -17,11 +17,18 @@ has two parts:
 
 2. This module supplies the remaining piece: segment max/min of per-node
    values over incoming edges, in ELLPACK layout
-   (ops/block_plan.build_ell_plan: node n's slots [n*K, n*K+deg)) —
-   a masked K-axis reduction, no scatter. The backward splits ties by
-   VALUE (grad/count over equal entries — order-independent, unlike
-   argmax picking) and recomputes the split in the src-major twin so
-   d(vals) is also a K-axis reduction: no scatter in either direction.
+   (ops/block_plan.build_ell_plan: node n's slots [n*K, n*K+deg)).
+
+LAYOUT LESSON (round 3, measured): the [N, K, C] gathered tensor must
+NEVER materialize. K separate [N]-row gathers with a RUNNING reduce
+measure 4.1 ms vs 11.1 ms for the one-shot [N,K,C] gather+reduce at
+[N=82k, K=8, C=272] bf16 — XLA fuses each row gather straight into its
+elementwise consumer, so the slot tensor never touches HBM. Tie counts
+update in the SAME running pass (new-max resets the count, equal-max
+increments), eliminating round 2's second count traversal; the backward
+walks the src-major twin's K columns the same way, pulling ONE packed
+[N, 4C] node array (mx|mn|gmx/cnt|gmn/cnt) per column. Tie-splitting stays
+by VALUE (grad/count — order-independent, unlike argmax picking).
 
 Replaces torch_scatter's min/max role
 (/root/reference/modules/pna/aggregators.py:17-24); parity-tested against
@@ -36,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 _BIG = 1e30
+_UNROLL_K = 16  # python-unroll small K (full fusion); fori_loop beyond
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -47,29 +55,60 @@ def ell_minmax(vals, plan_dst, plan_src, k_in: int, k_out: int):
     return out
 
 
-def _gathered(vals, plan, k):
-    N = vals.shape[0]
-    g = jnp.take(vals, plan["other_g"], axis=0).reshape(N, k, -1)
-    mask = plan["mask"].reshape(N, k)[..., None].astype(vals.dtype)
-    return g, mask
+def _k_loop(k, carry, body):
+    """Run body(j, carry) for j in [0, k): unrolled for small k (lets XLA
+    fuse every gather into its consumer), fori_loop for large k (bounded
+    HLO size; each iteration is bandwidth-bound so loop overhead is noise)."""
+    if k <= _UNROLL_K:
+        for j in range(k):
+            carry = body(j, carry)
+        return carry
+    return jax.lax.fori_loop(0, k, body, carry)
+
+
+def _col(plan, k, N, j):
+    """Slot column j of an [N*k] plan field (works for traced j)."""
+    idx = plan["other_g"].reshape(N, k)
+    msk = plan["mask"].reshape(N, k)
+    if isinstance(j, int):
+        return idx[:, j], msk[:, j]
+    return (jax.lax.dynamic_index_in_dim(idx, j, 1, keepdims=False),
+            jax.lax.dynamic_index_in_dim(msk, j, 1, keepdims=False))
 
 
 def _fwd(vals, plan_dst, plan_src, k_in, k_out):
-    g, m = _gathered(vals, plan_dst, k_in)
-    deg = jnp.sum(m, axis=1)                      # [N, 1]
+    N, C = vals.shape
     big = jnp.asarray(_BIG, vals.dtype)
-    mx = jnp.max(jnp.where(m > 0, g, -big), axis=1)
-    mn = jnp.min(jnp.where(m > 0, g, big), axis=1)
-    mx = jnp.where(deg > 0, mx, 0.0)
-    mn = jnp.where(deg > 0, mn, 0.0)
-    # tie counts come from the already-gathered tensor here: saving the two
-    # [N, C] count arrays is far cheaper than re-gathering [N*K, C] rows in
-    # the backward (profiled ~11 ms per layer at PNA code2 scale)
-    cnt_mx = jnp.maximum(jnp.sum((g == mx[:, None]).astype(vals.dtype) * m,
-                                 axis=1), 1.0)
-    cnt_mn = jnp.maximum(jnp.sum((g == mn[:, None]).astype(vals.dtype) * m,
-                                 axis=1), 1.0)
-    return (mx, mn), (vals, mx, mn, cnt_mx, cnt_mn)
+    one = jnp.ones((), vals.dtype)
+
+    def body(j, carry):
+        mx, cmx, mn, cmn, deg = carry
+        idx, m = _col(plan_dst, k_in, N, j)
+        g = jnp.take(vals, idx, axis=0)                  # [N, C], fused
+        mcol = m[:, None] > 0
+        gx = jnp.where(mcol, g, -big)
+        gn = jnp.where(mcol, g, big)
+        new_hi = gx > mx
+        tie_hi = mcol & (gx == mx)
+        cmx = jnp.where(new_hi, one, jnp.where(tie_hi, cmx + one, cmx))
+        mx = jnp.maximum(mx, gx)
+        new_lo = gn < mn
+        tie_lo = mcol & (gn == mn)
+        cmn = jnp.where(new_lo, one, jnp.where(tie_lo, cmn + one, cmn))
+        mn = jnp.minimum(mn, gn)
+        deg = deg + m[:, None].astype(vals.dtype)
+        return mx, cmx, mn, cmn, deg
+
+    init = (jnp.full((N, C), -big, vals.dtype),
+            jnp.ones((N, C), vals.dtype),
+            jnp.full((N, C), big, vals.dtype),
+            jnp.ones((N, C), vals.dtype),
+            jnp.zeros((N, 1), vals.dtype))
+    mx, cmx, mn, cmn, deg = _k_loop(k_in, init, body)
+    has = deg > 0
+    mx = jnp.where(has, mx, 0.0)
+    mn = jnp.where(has, mn, 0.0)
+    return (mx, mn), (vals, mx, mn, cmx, cmn)
 
 
 def _fwd_rule(vals, plan_dst, plan_src, k_in, k_out):
@@ -80,24 +119,149 @@ def _fwd_rule(vals, plan_dst, plan_src, k_in, k_out):
 def _bwd_rule(k_in, k_out, res, gs):
     vals, mx, mn, cnt_mx, cnt_mn, plan_dst, plan_src = res
     g_mx, g_mn = gs
-    N = vals.shape[0]
+    N, C = vals.shape
 
-    # d vals in the src-major twin: each slot carries its own value
-    # (broadcast) and gathers its center's rows. Cotangents are pre-divided
-    # by tie counts at NODE level so the slot pass pulls 4 arrays, not 6.
-    gmx_c = g_mx / cnt_mx
-    gmn_c = g_mn / cnt_mn
-    ctr = plan_src["other_g"]
-    m_s = plan_src["mask"].reshape(N, k_out)[..., None].astype(vals.dtype)
-    v_s = jnp.broadcast_to(vals[:, None, :], (N, k_out, vals.shape[1]))
+    # node-level packed pull source: one [N, 4C] array so each src-major
+    # slot column is ONE fused row gather (compare keys + pre-divided
+    # cotangents travel together)
+    packed = jnp.concatenate(
+        [mx, mn, (g_mx / cnt_mx).astype(vals.dtype),
+         (g_mn / cnt_mn).astype(vals.dtype)], axis=1)
 
-    def pull(t):
-        return jnp.take(t, ctr, axis=0).reshape(N, k_out, -1)
+    def body(j, dv):
+        idx, m = _col(plan_src, k_out, N, j)
+        p = jnp.take(packed, idx, axis=0)                # [N, 4C], fused
+        mxj = jax.lax.slice_in_dim(p, 0, C, axis=1)
+        mnj = jax.lax.slice_in_dim(p, C, 2 * C, axis=1)
+        gxj = jax.lax.slice_in_dim(p, 2 * C, 3 * C, axis=1)
+        gnj = jax.lax.slice_in_dim(p, 3 * C, 4 * C, axis=1)
+        contrib = (gxj * (vals == mxj).astype(vals.dtype)
+                   + gnj * (vals == mnj).astype(vals.dtype))
+        return dv + contrib * m[:, None].astype(vals.dtype)
 
-    dv = (pull(gmx_c) * (v_s == pull(mx)).astype(vals.dtype)
-          + pull(gmn_c) * (v_s == pull(mn)).astype(vals.dtype))
-    dv = jnp.sum(dv * m_s, axis=1)
+    dv = _k_loop(k_out, jnp.zeros((N, C), vals.dtype), body)
     return (dv.astype(vals.dtype), None, None)
 
 
 ell_minmax.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# ell_multi: PNA's WHOLE aggregator family in one K-column pass.
+#
+# The round-3 profile showed the scatter-free sums were paying a 14 ms
+# MATERIALIZED [L, C] slot gather per call (the one-hot dot forces its
+# operand into HBM; a bare fused gather of the same bytes is ~3.6 ms) — and
+# PNA needs sum(xj), sum(xj^2) AND min/max of the SAME xjproj rows. Here one
+# running loop shares each column's row gather across s1/s2/max/min/counts/
+# deg, and the backward pulls ONE packed node array per src column:
+#   dv[v] = sum_c  g1[c] + 2*vals[v]*g2[c]
+#           + gmx_c[c]*(vals[v]==mx[c]) + gmn_c[c]*(vals[v]==mn[c])
+# Sums accumulate in f32 (bf16 running sums would lose ~2 digits over K).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def ell_multi(vals, plan_dst, plan_src, k_in: int, k_out: int,
+              want_sumsq: bool = True, want_minmax: bool = True):
+    """vals [N, C] -> (s1, s2, mx, mn), each [N, C] (s2/mx/mn are None when
+    not requested). s1 = per-node sum of incoming-neighbor rows, s2 the sum
+    of their squares; mx/mn as ell_minmax (empty rows -> 0)."""
+    out, _ = _multi_fwd(vals, plan_dst, plan_src, k_in, k_out,
+                        want_sumsq, want_minmax)
+    return out
+
+
+def _multi_fwd(vals, plan_dst, plan_src, k_in, k_out, want_sumsq,
+               want_minmax):
+    N, C = vals.shape
+    big = jnp.asarray(_BIG, vals.dtype)
+    one = jnp.ones((), vals.dtype)
+
+    def body(j, carry):
+        s1, s2, mx, cmx, mn, cmn = carry
+        idx, m = _col(plan_dst, k_in, N, j)
+        g = jnp.take(vals, idx, axis=0)                  # [N, C], fused
+        mcol = m[:, None] > 0
+        gz = jnp.where(mcol, g, 0).astype(jnp.float32)
+        s1 = s1 + gz
+        if want_sumsq:
+            s2 = s2 + gz * gz
+        if want_minmax:
+            gx = jnp.where(mcol, g, -big)
+            gn = jnp.where(mcol, g, big)
+            new_hi = gx > mx
+            tie_hi = mcol & (gx == mx)
+            cmx = jnp.where(new_hi, one, jnp.where(tie_hi, cmx + one, cmx))
+            mx = jnp.maximum(mx, gx)
+            new_lo = gn < mn
+            tie_lo = mcol & (gn == mn)
+            cmn = jnp.where(new_lo, one, jnp.where(tie_lo, cmn + one, cmn))
+            mn = jnp.minimum(mn, gn)
+        return s1, s2, mx, cmx, mn, cmn
+
+    zf = jnp.zeros((N, C), jnp.float32)
+    init = (zf, zf,
+            jnp.full((N, C), -big, vals.dtype), jnp.ones((N, C), vals.dtype),
+            jnp.full((N, C), big, vals.dtype), jnp.ones((N, C), vals.dtype))
+    s1, s2, mx, cmx, mn, cmn = _k_loop(k_in, init, body)
+    deg = jnp.sum(plan_dst["mask"].reshape(N, k_in), axis=1)[:, None]
+    has = deg > 0
+    s1 = s1.astype(vals.dtype)
+    s2 = s2.astype(vals.dtype) if want_sumsq else None
+    if want_minmax:
+        mx = jnp.where(has, mx, 0.0)
+        mn = jnp.where(has, mn, 0.0)
+    else:
+        mx = mn = None
+    return (s1, s2, mx, mn), (vals, mx, mn, cmx, cmn)
+
+
+def _multi_fwd_rule(vals, plan_dst, plan_src, k_in, k_out, want_sumsq,
+                    want_minmax):
+    out, res = _multi_fwd(vals, plan_dst, plan_src, k_in, k_out,
+                          want_sumsq, want_minmax)
+    return out, res + (plan_dst, plan_src)
+
+
+def _multi_bwd_rule(k_in, k_out, want_sumsq, want_minmax, res, gs):
+    vals, mx, mn, cnt_mx, cnt_mn, plan_dst, plan_src = res
+    g1, g2, g_mx, g_mn = gs
+    N, C = vals.shape
+    dt = vals.dtype
+
+    def z(t):
+        return jnp.zeros((N, C), dt) if t is None else t.astype(dt)
+
+    parts = [z(g1)]
+    if want_sumsq:
+        parts.append(z(g2))
+    if want_minmax:
+        parts += [mx, mn, (z(g_mx) / cnt_mx).astype(dt),
+                  (z(g_mn) / cnt_mn).astype(dt)]
+    packed = jnp.concatenate(parts, axis=1)
+
+    def body(j, dv):
+        idx, m = _col(plan_src, k_out, N, j)
+        p = jnp.take(packed, idx, axis=0)                # fused row gather
+        o = 0
+        g1j = jax.lax.slice_in_dim(p, o, o + C, axis=1); o += C
+        contrib = g1j.astype(jnp.float32)
+        if want_sumsq:
+            g2j = jax.lax.slice_in_dim(p, o, o + C, axis=1); o += C
+            contrib = contrib + 2.0 * (vals * g2j).astype(jnp.float32)
+        if want_minmax:
+            mxj = jax.lax.slice_in_dim(p, o, o + C, axis=1); o += C
+            mnj = jax.lax.slice_in_dim(p, o, o + C, axis=1); o += C
+            gxj = jax.lax.slice_in_dim(p, o, o + C, axis=1); o += C
+            gnj = jax.lax.slice_in_dim(p, o, o + C, axis=1); o += C
+            contrib = contrib + (gxj * (vals == mxj).astype(dt)
+                                 + gnj * (vals == mnj).astype(dt)
+                                 ).astype(jnp.float32)
+        return dv + contrib * m[:, None].astype(jnp.float32)
+
+    dv = _k_loop(k_out, jnp.zeros((N, C), jnp.float32), body)
+    return (dv.astype(dt), None, None)
+
+
+ell_multi.defvjp(_multi_fwd_rule, _multi_bwd_rule)

@@ -92,8 +92,13 @@ def _tiled_kv(t, nhead, hd, S):
     bt = t.shape[0]
     d = t.shape[2]
     sp = _sp(S)
-    pad = jnp.zeros((bt, sp - S, d), t.dtype)
-    tp = jnp.concatenate([t, pad], axis=1)
+    # zero-size pads crash compiled Mosaic ("vector types must have positive
+    # constant sizes") even though interpret mode tolerates them — S at an
+    # exact lane-tile multiple (128/256/384) must skip the concat
+    if sp > S:
+        tp = jnp.concatenate([t, jnp.zeros((bt, sp - S, d), t.dtype)], axis=1)
+    else:
+        tp = t
     tiled = jnp.concatenate([tp] * nhead, axis=1)          # [BT, H*sp, d]
     row = jax.lax.broadcasted_iota(jnp.int32, (1, nhead * sp, d), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, nhead * sp, d), 2)
@@ -116,7 +121,8 @@ def _head_masks(valid, S, block, b_total):
     if block > 0:
         qi = jax.lax.broadcasted_iota(jnp.int32, (1, S, sp), 1)
         m = m * (qi // block == kj // block).astype(jnp.float32)
-    vpad = jnp.concatenate([v, jnp.zeros((bt, sp - S), jnp.float32)], axis=1)
+    vpad = (jnp.concatenate([v, jnp.zeros((bt, sp - S), jnp.float32)], axis=1)
+            if sp > S else v)  # zero-size concat crashes compiled Mosaic
     base = pl.program_id(0) * bt
     bi = jax.lax.broadcasted_iota(jnp.int32, (bt, 1, 1), 0) + base
     ok = (bi < b_total).astype(jnp.float32)

@@ -19,7 +19,11 @@ Semantics match masked_softmax + torch-style attention dropout exactly:
 
 Layout: [BH, S, hd] with the key/value rows of one (batch, head) resident
 in VMEM per grid step (S=1024, hd<=128 -> ~1 MB), q processed in BQ-row
-blocks. All matmuls carry preferred_element_type=f32.
+blocks. All matmuls carry preferred_element_type=f32, and at f32 inputs
+they request Precision.HIGHEST — without it the MXU multiplies f32 operands
+in bf16 (production runs bf16 where this is moot, but the chip-side
+exactness smoke (tools/tpu_smoke.py) and any f32 user would silently lose
+~3 decimal digits).
 """
 
 from __future__ import annotations
@@ -28,6 +32,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+
+def _prec(dtype):
+    """HIGHEST when the ORIGINAL inputs are f32 (exact 6-pass multiplies);
+    default for bf16 inputs — the in-kernel f32 upcast of bf16 values is
+    exactly representable, so single-pass bf16 multiplies are already exact
+    and HIGHEST would cost 6x MXU work for nothing. Keyed on the HBM ref
+    dtype, never the f32-cast kernel local."""
+    import jax.numpy as _jnp
+
+    return jax.lax.Precision.HIGHEST if dtype == _jnp.float32 else None
 
 BQ = 256   # query rows per grid step
 BK = 256   # key columns per inner loop step
@@ -68,7 +83,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, m_ref, l_ref,
         vb = v_ref[0, pl.dslice(kc * BK, BK), :].astype(jnp.float32)
         kv = valid_ref[0, :, pl.dslice(kc * BK, BK)]       # [1, BK]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32,
+                                precision=_prec(q_ref.dtype)) * scale
         s = jnp.where(kv, s, _NEG)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
@@ -81,7 +97,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, m_ref, l_ref,
             p = p * keep / (1.0 - rate)
         acc = acc * alpha + jax.lax.dot_general(
             p, vb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+                                precision=_prec(q_ref.dtype))
         return m_new, l, acc
 
     m, l, acc = jax.lax.fori_loop(0, nk, body, (m, l, acc))
@@ -112,19 +129,22 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, do_ref, delta_ref,
         vb = v_ref[0, pl.dslice(kc * BK, BK), :].astype(jnp.float32)
         kv = valid_ref[0, :, pl.dslice(kc * BK, BK)]       # [1, BK]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32,
+                                precision=_prec(q_ref.dtype)) * scale
         s = jnp.where(kv, s, _NEG)
         p = jnp.exp(s - m) * l_inv
         p = jnp.where(kv, p, 0.0)
         dov = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                precision=_prec(q_ref.dtype))
         if training and rate > 0.0:
             keep = _dropout_keep((BQ, BK), rate,
                                  seed_ref[0] + (bh * 16384 + qi) * 1024 + kc)
             dov = dov * keep / (1.0 - rate)
         ds = p * (dov - delta)
         dq = dq + jax.lax.dot_general(ds, kb, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32) * scale
+                                      preferred_element_type=jnp.float32,
+                                precision=_prec(q_ref.dtype)) * scale
         return dq
 
     dq_ref[0] = jax.lax.fori_loop(0, nk, body, dq).astype(dq_ref.dtype)
@@ -155,7 +175,8 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, do_ref, delta_ref,
         lb_inv = 1.0 / jnp.maximum(
             l_ref[0, pl.dslice(qc * BQ, BQ), :], 1e-16)
         s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32,
+                                precision=_prec(q_ref.dtype)) * scale
         s = jnp.where(kv, s, _NEG)
         p = jnp.exp(s - mb) * lb_inv
         p = jnp.where(kv, p, 0.0)                          # [BQ, BK]
@@ -167,14 +188,17 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, do_ref, delta_ref,
             keep = None
             p_drop = p
         dv = dv + jax.lax.dot_general(p_drop, dob, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+                                      preferred_element_type=jnp.float32,
+                                precision=_prec(q_ref.dtype))
         dov = jax.lax.dot_general(dob, vb, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                precision=_prec(q_ref.dtype))
         if keep is not None:
             dov = dov * keep / (1.0 - rate)
         ds = p * (dov - delta)                             # [BQ, BK]
         dk = dk + jax.lax.dot_general(ds, qb, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32) * scale
+                                      preferred_element_type=jnp.float32,
+                                precision=_prec(q_ref.dtype)) * scale
         return dk, dv
 
     dk, dv = jax.lax.fori_loop(0, nq, body, (dk, dv))

@@ -9,7 +9,7 @@ wired right at production scale — the quality-parity story vs the
 reference lives in tests/ (torch weight-copy parity) and main.py runs.
 
 Usage: python tools/train_convergence.py [epochs] [batch_size] [workload]
-(workload: mol | code2 — code2 runs the GCN-virtual seq-head flagship on
+(workload: mol | code2 | code2_pna — code2 runs the GCN-virtual seq-head flagship on
 the flat scatter-free path; measured trajectories: mol loss 0.705 -> 0.527
 over 8 epochs at bs=4096, code2 loss 2.64 -> 2.22 over 10 at bs=512.)
 """
@@ -35,8 +35,16 @@ def main():
 
     import bench
 
-    build = bench.build if workload == "mol" else bench.build_code2
-    if workload == "code2" and bs == 4096:
+    if workload == "mol":
+        build = bench.build
+    else:
+        import functools
+
+        build = functools.partial(
+            bench.build_code2,
+            model="pna-transformer" if workload == "code2_pna"
+            else "gnn-transformer")
+    if workload.startswith("code2") and bs == 4096:
         bs = 512
     n_batches = 4
     state, step, batch0 = build(batch_size=bs, seed=0, precision="bf16")
