@@ -100,6 +100,10 @@ class GraphBatch:
     # flat readouts — ops/scatter_free.graph_sum_sfa)
     sfa_pool: Any = None
     # ELL neighbor-slot plans (segment min/max for PNA — ops/ell.py)
+    edge_attr_ell: Any = None      # [N*K, Fe] dst-ELL-ordered edge_attr
+    edge_attr_ell_src: Any = None  # [N*K, Fe] src-ELL-ordered copy (bwd mask)
+    ell_gcn_norm_dst: Any = None   # [N*K] structural GCN norms per order
+    ell_gcn_norm_src: Any = None
     ell_dst: Any = None
     ell_src: Any = None
 

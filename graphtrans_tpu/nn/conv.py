@@ -63,6 +63,41 @@ def _sfa_route(batch, message) -> bool:
                  or jax.default_backend() == "tpu"))
 
 
+# ELL-column conv aggregation (ops/ell.ell_gather_message_scatter) inside
+# the scatter-free route. MEASURED NEGATIVE on the code2 bench (v5e,
+# bs=512, bf16, same-process A/B): ELL columns 155.4 ms/step vs one-hot
+# 117.2. The hypothesis (kill the one-hot dot's materialized [L, C] slot
+# gather with K fused row-gather columns, as in PNA's ell_multi) does not
+# transfer: the conv message is edge-valued (relu(x[src] + emb) per edge),
+# so each of the K columns re-reads a full [N, C] gather AND an [N, C]
+# embedding stride fwd+bwd — k*N = 2.7x the sfa slot count here — whereas
+# PNA's reducers consume NODE-valued projections where the ELL win came
+# from never materializing the [N, K, C] tensor. Kept opt-in (set_ell_gms
+# 'on'/'auto'; batch fields gated by block_plan.set_ell_edge_fields);
+# parity for both arms stays tested in tests/test_scatter_free.py.
+_ELL_GMS = "off"
+_ELL_GMS_K_CAP = 16
+
+
+def set_ell_gms(mode: str):
+    global _ELL_GMS
+    assert mode in ("auto", "on", "off"), mode
+    _ELL_GMS = mode
+
+
+def _ell_gms_route(batch) -> bool:
+    if _ELL_GMS == "off":
+        return False
+    if getattr(batch, "ell_dst", None) is None             or getattr(batch, "edge_attr_ell", None) is None:
+        return False
+    if _ELL_GMS == "on":
+        return True
+    k = batch.ell_k_in
+    n = batch.node_mask.shape[0]
+    l_sfa = batch.sfa_dst["mask"].shape[0]
+    return k <= _ELL_GMS_K_CAP and k * n <= 4 * l_sfa
+
+
 def bsp_slot_weight(plan, per_node_vals, major_is_src: bool):
     """Per-edge weight for the blocked kernel from per-node values:
     w_slot = vals[src] * vals[dst], endpoints reconstructed from the plan
@@ -98,6 +133,16 @@ def _aggregate(batch, h, edge_encoder, message="relu_add", edge_weight=None,
         return dense_mp.gather_message_scatter_dense(
             h, batch, edge_emb, message=message, edge_weight=edge_weight)
     if _sfa_route(batch, message):
+        if _ell_gms_route(batch):
+            from ..ops.ell import ell_gather_message_scatter
+
+            emb_d = edge_encoder(batch.edge_attr_ell).astype(h.dtype)
+            emb_s = edge_encoder(batch.edge_attr_ell_src).astype(h.dtype)
+            wd, ws = ((batch.ell_gcn_norm_dst, batch.ell_gcn_norm_src)
+                      if edge_weight_sfa is not None else (None, None))
+            return ell_gather_message_scatter(
+                h, emb_d, emb_s, wd, ws, batch.ell_dst, batch.ell_src,
+                batch.ell_k_in, batch.ell_k_out, message)
         from ..ops.scatter_free import scatterfree_gather_message_scatter
 
         emb_d = edge_encoder(batch.edge_attr_sfa).astype(h.dtype)

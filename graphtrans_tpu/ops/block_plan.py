@@ -46,6 +46,15 @@ EB = 512   # edge slots per chunk
 _BLOCK_SPMM = "off"
 _BLOCK_SPMM_INTERPRET = False
 
+# build the ELL-slot-ordered edge copies (edge_attr_ell / ell_gcn_norm_*)
+# consumed only by the opt-in ELL conv-aggregation route (nn/conv._ELL_GMS)
+_ELL_EDGE_FIELDS = False
+
+
+def set_ell_edge_fields(on: bool):
+    global _ELL_EDGE_FIELDS
+    _ELL_EDGE_FIELDS = bool(on)
+
 
 def set_block_spmm(mode: str):
     global _BLOCK_SPMM
@@ -379,10 +388,20 @@ def build_sfa_fields(edge_src, edge_dst, edge_mask, edge_attr, n_slots: int,
         es = build_ell_plan(edge_src, edge_dst, edge_mask, n_slots, k=ell_k)
     if ed is not None and es is not None:
         (pd_ell, k_in), (ps_ell, k_out) = ed, es
-        pd_ell.pop("perm")
-        ps_ell.pop("perm")
+        perm_ed = pd_ell.pop("perm")
+        perm_es = ps_ell.pop("perm")
         fields["ell_dst"] = pd_ell
         fields["ell_src"] = ps_ell
         fields["ell_k_in"] = k_in
         fields["ell_k_out"] = k_out
+        # ELL-slot-ordered edge data for the opt-in ELL conv aggregation
+        # route (ops/ell.ell_gather_message_scatter — measured LOSS vs the
+        # one-hot route, see nn/conv._ELL_GMS): gated off by default so
+        # production batches don't pay the [N*K, Fe] host copies + H2D
+        if _ELL_EDGE_FIELDS:
+            fields["edge_attr_ell"] = permute_edge_data(edge_attr, perm_ed)
+            fields["edge_attr_ell_src"] = permute_edge_data(edge_attr,
+                                                            perm_es)
+            fields["ell_gcn_norm_dst"] = permute_edge_data(norm, perm_ed)
+            fields["ell_gcn_norm_src"] = permute_edge_data(norm, perm_es)
     return fields

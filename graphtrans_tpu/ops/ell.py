@@ -265,3 +265,108 @@ def _multi_bwd_rule(k_in, k_out, want_sumsq, want_minmax, res, gs):
 
 
 ell_multi.defvjp(_multi_fwd_rule, _multi_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# ell_gather_message_scatter: GIN/GCN flat aggregation as ELL columns.
+#
+# Same layout lesson as ell_multi, applied to sum_{j->i} w * relu(x_j + e_ji)
+# (the GIN/GCN message, /root/reference/modules/conv.py:26-71): the
+# scatter-free one-hot-dot route forces a MATERIALIZED [L, C] slot gather
+# (~14 ms at code2 scale); here each dst-major slot column is one row gather
+# fused into its relu/weight/accumulate consumer, with the edge embedding
+# read as a contiguous [:, j] stride of the ELL-ordered copy. The backward
+# never gathers x for dx: at a src-major slot the VALUE node is the row
+# itself, so the relu mask is x + emb_src_ell (node-local), and only the
+# output cotangent g is gathered per column. d_emb is computed dst-major
+# (the center IS the row — no gather of g at all). Edge weights (GCN norms)
+# are structural and stop-gradiented, exactly like ops/scatter_free.py.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def ell_gather_message_scatter(x, emb_d, emb_s, w_d, w_s, plan_dst,
+                               plan_src, k_in: int, k_out: int,
+                               message: str = "relu_add"):
+    """x [N, C]; emb_d/emb_s [N*k, C] edge embeddings in ELL slot order
+    (dst-major / src-major); w_d/w_s [N*k] or None -> [N, C] per-node sums
+    of (masked, weighted, optionally relu'd) messages over incoming edges."""
+    out, _ = _gms_fwd(x, emb_d, emb_s, w_d, w_s, plan_dst, plan_src,
+                      k_in, k_out, message)
+    return out
+
+
+def _gms_fwd(x, emb_d, emb_s, w_d, w_s, plan_dst, plan_src, k_in, k_out,
+             message):
+    N, C = x.shape
+    emb3 = None if emb_d is None else emb_d.reshape(N, k_in, C)
+    w3 = (None if w_d is None
+          else jax.lax.stop_gradient(w_d).reshape(N, k_in).astype(x.dtype))
+
+    def body(j, acc):
+        idx, m = _col(plan_dst, k_in, N, j)
+        pre = jnp.take(x, idx, axis=0)                   # [N, C], fused
+        if emb3 is not None:
+            pre = pre + emb3[:, j]
+        msg = jnp.maximum(pre, 0) if message == "relu_add" else pre
+        if w3 is not None:
+            msg = msg * w3[:, j][:, None]
+        return acc + jnp.where(m[:, None] > 0, msg, 0).astype(jnp.float32)
+
+    acc = _k_loop(k_in, jnp.zeros((N, C), jnp.float32), body)
+    return acc.astype(x.dtype), (x, emb_d, emb_s, w_d, w_s)
+
+
+def _gms_fwd_rule(x, emb_d, emb_s, w_d, w_s, plan_dst, plan_src, k_in,
+                  k_out, message):
+    out, res = _gms_fwd(x, emb_d, emb_s, w_d, w_s, plan_dst, plan_src,
+                        k_in, k_out, message)
+    return out, res + (plan_dst, plan_src)
+
+
+def _gms_bwd_rule(k_in, k_out, message, res, g):
+    x, emb_d, emb_s, w_d, w_s, plan_dst, plan_src = res
+    N, C = x.shape
+    dt = x.dtype
+    relu = message == "relu_add"
+
+    # d_emb in dst-major ELL order: slot (n, j)'s center IS row n, so the
+    # cotangent is g itself — only x re-gathers (for the relu mask)
+    demb = None
+    if emb_d is not None:
+        emb3 = emb_d.reshape(N, k_in, C)
+        w3d = (None if w_d is None
+               else jax.lax.stop_gradient(w_d).reshape(N, k_in).astype(dt))
+        cols = []
+        for j in range(k_in):
+            idx, m = _col(plan_dst, k_in, N, j)
+            dm = g if w3d is None else g * w3d[:, j][:, None]
+            if relu:
+                pre = jnp.take(x, idx, axis=0) + emb3[:, j]
+                dm = jnp.where(pre > 0, dm, 0)
+            cols.append(jnp.where(m[:, None] > 0, dm, 0))
+        demb = jnp.stack(cols, axis=1).reshape(N * k_in, C).astype(dt)
+
+    # dx in src-major ELL order: the value node is the row, so the relu
+    # mask is node-local (x + emb_src) and only g gathers
+    emb3s = None if emb_s is None else emb_s.reshape(N, k_out, C)
+    w3s = (None if w_s is None
+           else jax.lax.stop_gradient(w_s).reshape(N, k_out).astype(dt))
+
+    def body(j, dv):
+        ctr, m = _col(plan_src, k_out, N, j)
+        dm = jnp.take(g, ctr, axis=0)
+        if w3s is not None:
+            dm = dm * w3s[:, j][:, None]
+        if relu:
+            pre = x if emb3s is None else x + emb3s[:, j]
+            dm = jnp.where(pre > 0, dm, 0)
+        return dv + jnp.where(m[:, None] > 0, dm, 0).astype(jnp.float32)
+
+    dv = _k_loop(k_out, jnp.zeros((N, C), jnp.float32), body)
+    # emb_src only feeds the backward relu mask (zero cotangent — the dst
+    # copy carries the full d_emb), weights are structural: both None
+    return (dv.astype(dt), demb, None, None, None, None, None)
+
+
+ell_gather_message_scatter.defvjp(_gms_fwd_rule, _gms_bwd_rule)

@@ -122,7 +122,9 @@ def build_parser():
                        help="flat-layout aggregation via per-dst-block "
                             "one-hot matmuls instead of XLA's serialized "
                             "scatter-adds (ops/scatter_free.py); auto = on "
-                            "for flat single-shard loaders")
+                            "for flat layouts incl. DP shard stacking "
+                            "(pinned dataset-wide caps); gated off only "
+                            "under hybrid partitioning / dense layout")
     group.add_argument("--dense_layout", type=str, default="auto",
                        choices=["auto", "on", "off"],
                        help="strided per-graph node layout: aggregation runs "

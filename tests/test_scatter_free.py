@@ -61,7 +61,12 @@ def test_scatter_plan_pair_covers_all_edges():
 
 
 @pytest.mark.parametrize("conv_kind", ["gin", "gcn"])
-def test_scatter_free_conv_matches_segment_path(rng, conv_kind, monkeypatch):
+@pytest.mark.parametrize("route", ["ell", "onehot"])
+def test_scatter_free_conv_matches_segment_path(rng, conv_kind, route,
+                                                monkeypatch):
+    # the ELL arm's batch fields are opt-in (measured loss in production —
+    # see nn/conv._ELL_GMS) but their parity stays pinned here
+    monkeypatch.setattr(bp, "_ELL_EDGE_FIELDS", route == "ell")
     batch = _sfa_batch()
     d = 128
     enc = LinearEdgeEncoder(d)
@@ -71,6 +76,12 @@ def test_scatter_free_conv_matches_segment_path(rng, conv_kind, monkeypatch):
     h[~np.asarray(batch.node_mask)] = 0
     h = jnp.asarray(h)
     variables = conv.init(jax.random.key(0), batch, h, False)
+    if route == "ell":
+        assert batch.ell_dst is not None and batch.edge_attr_ell is not None
+    # pin the scatter-free inner route (ELL columns vs one-hot dot) so BOTH
+    # arms keep parity coverage regardless of the auto heuristic
+    monkeypatch.setattr(conv_mod, "_ELL_GMS",
+                        "on" if route == "ell" else "off")
 
     def loss(variables, h, sfa):
         monkeypatch.setattr(conv_mod, "_SFA_FORCE", sfa)
