@@ -20,7 +20,7 @@ reference trains with). The jax side is the PRODUCTION stack: MODELS registry,
 BaseTrainer/FlagTrainer grad fns, train.optim.build_optimizer,
 train.state.TrainState — not a test re-implementation.
 
-What "parity" means here (and in the committed PARITY.md artifact):
+What "parity" means here (and in the committed TRAIN_PARITY.md artifact):
   1. Short horizon, paired: from identical weights the per-step losses must
      track near float precision for the first steps (this pins optimizer,
      schedule, clip and BN-momentum semantics — any systematic difference
@@ -34,7 +34,7 @@ What "parity" means here (and in the committed PARITY.md artifact):
 Dropout is 0 on both sides (the frameworks cannot share a dropout stream).
 Run:  python tools/train_parity.py --epochs 150 --seeds 3
 Fast: python tools/train_parity.py --preset smoke
-Artifacts: PARITY.json + PARITY.md at the repo root.
+Artifacts: TRAIN_PARITY.json + TRAIN_PARITY.md at the repo root.
 """
 
 from __future__ import annotations
@@ -422,11 +422,11 @@ def main():
         "verdict": verdict,
         "wall_s": round(time.time() - t0, 1),
     }
-    with open(os.path.join(opts.out, "PARITY.json"), "w") as f:
+    with open(os.path.join(opts.out, "TRAIN_PARITY.json"), "w") as f:
         json.dump(out, f, indent=1)
-    write_md(out, arms, os.path.join(opts.out, "PARITY.md"))
+    write_md(out, arms, os.path.join(opts.out, "TRAIN_PARITY.md"))
     print(json.dumps(verdict, indent=1))
-    print(f"wall: {out['wall_s']}s -> PARITY.json / PARITY.md")
+    print(f"wall: {out['wall_s']}s -> TRAIN_PARITY.json / TRAIN_PARITY.md")
     return 0 if all(v["pass"] for v in verdict.values()) else 1
 
 
