@@ -106,11 +106,20 @@ class GraphBatch:
     ell_gcn_norm_src: Any = None
     ell_dst: Any = None
     ell_src: Any = None
+    # --- COMPRESSED scatter-free plans (the production shipping format,
+    # round 4): CSR row starts + one src-sorted edge permutation; every
+    # plan above is derived on DEVICE from these (ops/plan_expand.py).
+    # The explicit dicts above remain supported for tests/legacy callers.
+    sfa_row_start_dst: Any = None   # [N+1] i32 (valid edges, dst-sorted prefix)
+    sfa_row_start_src: Any = None   # [N+1] i32 (indexes edge_perm_src order)
+    edge_perm_src: Any = None       # [E] i32 stable src-sort of valid edges
 
     # --- static metadata (aux_data, not traced) ---
     max_nodes_dense: int = dataclasses.field(default=0, metadata=dict(static=True))
     node_stride: int = dataclasses.field(default=0, metadata=dict(static=True))
     sfa_nb: int = dataclasses.field(default=0, metadata=dict(static=True))
+    sfa_eb: int = dataclasses.field(default=0, metadata=dict(static=True))
+    sfa_pool_eb: int = dataclasses.field(default=0, metadata=dict(static=True))
     ell_k_in: int = dataclasses.field(default=0, metadata=dict(static=True))
     ell_k_out: int = dataclasses.field(default=0, metadata=dict(static=True))
 
@@ -168,6 +177,7 @@ def collate(
     bsp_chunks_cap: int = 0,
     scatter_free: bool = False,
     sfa_eb: int = 0,
+    sfa_explicit: bool = False,
 ) -> GraphBatch:
     """Assemble a list of host-side graph dicts into one padded GraphBatch.
 
@@ -327,10 +337,19 @@ def collate(
     if scatter_free and node_stride == 0 and N % 128 == 0:
         from ..ops import block_plan as _bp
 
-        sfa = _bp.build_sfa_fields(edge_src, edge_dst, edge_mask, edge_attr,
-                                   N, eb=sfa_eb if sfa_eb > 0 else None,
-                                   node_graph=node_graph,
-                                   node_mask=node_mask, num_graphs=G)
+        if sfa_explicit:
+            # legacy explicit slot-plan arrays (tests / parity baselines)
+            sfa = _bp.build_sfa_fields(
+                edge_src, edge_dst, edge_mask, edge_attr, N,
+                eb=sfa_eb if sfa_eb > 0 else None, node_graph=node_graph,
+                node_mask=node_mask, num_graphs=G)
+        else:
+            # compressed production format: row starts + one src-sort
+            # permutation, plans derived on device (ops/plan_expand.py)
+            sfa = _bp.build_sfa_compressed(
+                edge_src, edge_dst, edge_mask, N,
+                eb=sfa_eb if sfa_eb > 0 else None, node_graph=node_graph,
+                node_mask=node_mask, num_graphs=G)
 
     bsp_fwd = bsp_bwd = ea_bsp_fwd = ea_bsp_bwd = None
     if bsp_chunks_cap > 0 and node_stride == 0 and N % 128 == 0:

@@ -56,7 +56,7 @@ def load_code_graphs(root: str, dataset: str):
     n_off = e_off = 0
     for i, (n, e) in enumerate(zip(nn_list, ne_list)):
         graphs.append({
-            "x": node_feat[n_off:n_off + n, :2].astype(np.int64),
+            "x": node_feat[n_off:n_off + n, :2].astype(np.int32),
             "edge_index": edge[e_off:e_off + e].T.astype(np.int64),
             "edge_attr": None,
             "node_depth": node_depth[n_off:n_off + n] if node_depth is not None else np.zeros(n, np.int64),

@@ -213,20 +213,20 @@ class GraphLoader:
             return batch
         import dataclasses
 
-        from ..ops.block_plan import build_sfa_fields, dataset_sfa_caps
+        from ..ops.block_plan import build_sfa_compressed, dataset_sfa_caps
 
         if self._sfa_caps is None:
             self._sfa_caps = dataset_sfa_caps(self.graphs, self.node_cap)
         caps = self._sfa_caps
-        fields = build_sfa_fields(batch.edge_src, batch.edge_dst,
-                                  batch.edge_mask, batch.edge_attr,
-                                  batch.num_node_slots,
-                                  eb=caps["eb"],
-                                  node_graph=batch.node_graph,
-                                  node_mask=batch.node_mask,
-                                  num_graphs=batch.num_graph_slots,
-                                  ell_k=caps["ell_k"],
-                                  pool_eb=caps["pool_eb"])
+        fields = build_sfa_compressed(batch.edge_src, batch.edge_dst,
+                                      batch.edge_mask,
+                                      batch.num_node_slots,
+                                      eb=caps["eb"],
+                                      node_graph=batch.node_graph,
+                                      node_mask=batch.node_mask,
+                                      num_graphs=batch.num_graph_slots,
+                                      ell_k=caps["ell_k"],
+                                      pool_eb=caps["pool_eb"])
         if fields is None:
             return batch
         return dataclasses.replace(batch, **fields)

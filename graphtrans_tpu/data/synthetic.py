@@ -105,7 +105,7 @@ def make_code_dataset(num_graphs=200, vocab_size=40, seq_len_max=8,
         types = rng.integers(0, num_nodetypes, size=n)
         attrs = rng.integers(0, num_nodeattributes, size=n)
         is_attributed = (rng.random(n) < 0.4).astype(np.int64)
-        x = np.stack([types, attrs], axis=1).astype(np.int64)
+        x = np.stack([types, attrs], axis=1).astype(np.int32)
         L = int(rng.integers(1, seq_len_max))
         seq = [words[int(types[i % n]) % vocab_size] for i in range(L)]
         graphs.append({

@@ -66,5 +66,7 @@ def augment_edge(graph: dict) -> dict:
 
     out = dict(graph)
     out["edge_index"] = np.concatenate([e_ast, e_ast_inv, e_next, e_next_inv], axis=1).astype(np.int64)
-    out["edge_attr"] = np.concatenate([a_ast, a_ast_inv, a_next, a_next_inv], axis=0).astype(np.float32)
+    # values are {0,1} — ship int8 (H2D is tunnel-bound; the edge encoder
+    # casts to the compute dtype on device)
+    out["edge_attr"] = np.concatenate([a_ast, a_ast_inv, a_next, a_next_inv], axis=0).astype(np.int8)
     return out

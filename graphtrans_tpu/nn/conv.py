@@ -15,7 +15,7 @@ from typing import Callable
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import block_plan, dense_mp, scatter
+from ..ops import block_plan, dense_mp, plan_expand, scatter
 from ..ops.segment import out_degree
 from .init import TDense, normal
 from .norm import MaskedBatchNorm
@@ -57,7 +57,7 @@ def _sfa_route(batch, message) -> bool:
     if _SFA == "off":
         return False
     return (batch.edge_src_dense is None
-            and getattr(batch, "sfa_dst", None) is not None
+            and plan_expand.has_sfa(batch)
             and message in ("relu_add", "add")
             and (_SFA == "on" or _SFA_FORCE
                  or jax.default_backend() == "tpu"))
@@ -88,14 +88,18 @@ def set_ell_gms(mode: str):
 def _ell_gms_route(batch) -> bool:
     if _ELL_GMS == "off":
         return False
-    if getattr(batch, "ell_dst", None) is None             or getattr(batch, "edge_attr_ell", None) is None:
+    if not plan_expand.has_ell(batch):
+        return False
+    # legacy explicit-plan batches additionally need the ELL-ordered attr
+    # copies; compressed batches derive them on device
+    if (getattr(batch, "ell_dst", None) is not None
+            and getattr(batch, "edge_attr_ell", None) is None):
         return False
     if _ELL_GMS == "on":
         return True
     k = batch.ell_k_in
     n = batch.node_mask.shape[0]
-    l_sfa = batch.sfa_dst["mask"].shape[0]
-    return k <= _ELL_GMS_K_CAP and k * n <= 4 * l_sfa
+    return k <= _ELL_GMS_K_CAP and k * n <= 4 * plan_expand.sfa_slots(batch)
 
 
 def bsp_slot_weight(plan, per_node_vals, major_is_src: bool):
@@ -136,21 +140,25 @@ def _aggregate(batch, h, edge_encoder, message="relu_add", edge_weight=None,
         if _ell_gms_route(batch):
             from ..ops.ell import ell_gather_message_scatter
 
-            emb_d = edge_encoder(batch.edge_attr_ell).astype(h.dtype)
-            emb_s = edge_encoder(batch.edge_attr_ell_src).astype(h.dtype)
-            wd, ws = ((batch.ell_gcn_norm_dst, batch.ell_gcn_norm_src)
+            ea_d, ea_s = plan_expand.ell_edge_attr(batch)
+            emb_d = edge_encoder(ea_d).astype(h.dtype)
+            emb_s = edge_encoder(ea_s).astype(h.dtype)
+            wd, ws = (plan_expand.ell_gcn_norms(batch)
                       if edge_weight_sfa is not None else (None, None))
+            ell_d, ell_s = plan_expand.ell_plans(batch)
             return ell_gather_message_scatter(
-                h, emb_d, emb_s, wd, ws, batch.ell_dst, batch.ell_src,
+                h, emb_d, emb_s, wd, ws, ell_d, ell_s,
                 batch.ell_k_in, batch.ell_k_out, message)
         from ..ops.scatter_free import scatterfree_gather_message_scatter
 
-        emb_d = edge_encoder(batch.edge_attr_sfa).astype(h.dtype)
-        emb_s = edge_encoder(batch.edge_attr_sfa_src).astype(h.dtype)
+        ea_d, ea_s = plan_expand.sfa_edge_attr(batch)
+        emb_d = edge_encoder(ea_d).astype(h.dtype)
+        emb_s = edge_encoder(ea_s).astype(h.dtype)
         wd, ws = (edge_weight_sfa if edge_weight_sfa is not None
                   else (None, None))
+        plan_d, plan_s = plan_expand.sfa_plans(batch)
         return scatterfree_gather_message_scatter(
-            h, emb_d, emb_s, wd, ws, batch.sfa_dst, batch.sfa_src,
+            h, emb_d, emb_s, wd, ws, plan_d, plan_s,
             batch.sfa_nb, message)
     if _bsp_route(batch, message):
         from ..ops.pallas.block_spmm import blocked_gather_message_scatter
@@ -222,11 +230,11 @@ class GCNConv(nn.Module):
             norm = batch.edge_gcn_norm
             inv_deg = batch.node_gcn_inv_deg[:, None]
         elif _sfa_route(batch, "relu_add"):
-            # scatter-free route: degree normalization is structural and
-            # rides precomputed per slot order (data/batch.py)
+            # scatter-free route: degree normalization is structural —
+            # precomputed per slot order (legacy explicit batches) or
+            # derived on device from the src row starts (compressed)
             norm = None
-            inv_deg = batch.sfa_inv_deg[:, None]
-            norm_sfa = (batch.sfa_gcn_norm_dst, batch.sfa_gcn_norm_src)
+            norm_sfa, inv_deg = plan_expand.sfa_gcn(batch)
         elif batch.edge_src_dense is not None:
             # strided layout: degree is an axis reduction of the src
             # one-hots, and the per-edge norm gathers dis through the same

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.segment import segment_sum
+from ..ops import plan_expand
 from .conv import GCNConv, GINConv, _sfa_route
 from .init import TDense
 from .dropout import ByteDropout
@@ -154,7 +155,7 @@ class GNNNodeEmbedding(nn.Module):
                     from ..ops.dense_mp import graph_sum
 
                     pooled = graph_sum(h_list[layer], batch)
-                elif (getattr(batch, "sfa_pool", None) is not None
+                elif (plan_expand.has_pool(batch)
                       and _sfa_route(batch, "add")):
                     # scatter-free per-graph sum (the forward segment-sum
                     # scatter is row-serialized on TPU; the backward is a
@@ -163,7 +164,7 @@ class GNNNodeEmbedding(nn.Module):
 
                     pooled = graph_sum_sfa(
                         h_list[layer], batch.node_graph, batch.node_mask,
-                        batch.sfa_pool, num_graphs)
+                        plan_expand.pool_plan(batch), num_graphs)
                 else:
                     pooled = segment_sum(
                         h_list[layer], batch.node_graph, num_graphs,

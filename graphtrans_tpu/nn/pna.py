@@ -80,8 +80,10 @@ class PNAConv(nn.Module):
         w_pre = self.param("pre_w", _tower_linear_init(2 * Ft), (T, 2 * Ft, Ft))
         b_pre = self.param("pre_b", _tower_linear_init(2 * Ft), (T, Ft))
 
+        from ..ops import plan_expand
+
         _ell_aggs = {"sum", "mean", "std", "var", "max", "min"}
-        use_ell = (getattr(batch, "ell_dst", None) is not None
+        use_ell = (plan_expand.has_ell(batch)
                    and _sfa_route(batch, "add")
                    and all(a in _ell_aggs for a in self.aggregators))
         if use_ell:
@@ -110,11 +112,12 @@ class PNAConv(nn.Module):
             # gather per call (the one-hot dot forces its operand to HBM).
             want_sq = ("std" in self.aggregators) or ("var" in self.aggregators)
             want_mm = ("max" in self.aggregators) or ("min" in self.aggregators)
+            ell_d, ell_s = plan_expand.ell_plans(batch)
             s1, s2, mxb, mnb = ell_multi(
-                xjproj, batch.ell_dst, batch.ell_src,
+                xjproj, ell_d, ell_s,
                 batch.ell_k_in, batch.ell_k_out, want_sq, want_mm)
 
-            deg_raw = batch.ell_dst["mask"].reshape(N, -1).sum(axis=1)
+            deg_raw = ell_d["mask"].reshape(N, -1).sum(axis=1)
             deg_safe = jnp.maximum(deg_raw, 1.0)[:, None].astype(x.dtype)
             has = (deg_raw > 0)[:, None]
             mean_b = s1 / deg_safe

@@ -341,6 +341,100 @@ def dataset_sfa_caps(graphs, n_cap: int):
             "pool_eb": pool_eb, "nb": nb}
 
 
+def build_sfa_compressed(edge_src, edge_dst, edge_mask, n_slots: int,
+                         eb: int = None, node_graph=None, node_mask=None,
+                         num_graphs: int = 0, ell_k: int = None,
+                         pool_eb: int = None):
+    """Compressed scatter-free plan fields (round 4): ship CSR row starts
+    plus ONE src-sorted edge permutation instead of the explicit slot-plan
+    arrays, and derive every plan on DEVICE (ops/plan_expand.py).
+
+    The collated batch already satisfies two invariants (data/batch.collate,
+    csrc/graph_batcher.cpp — both verified here per batch, falling back to
+    the segment path if not): valid edges are a dst-sorted PREFIX of the
+    edge arrays, and valid nodes are graph-major. So the dst-major scatter
+    plan, the dst-major ELL plan, AND the pooling plan are all just
+    contiguous-range views — block b's slots map to edge rows
+    [row_start[b*nb], row_start[(b+1)*nb]) — and the src-major twins need
+    only the one stable src-sort permutation. H2D per code2 batch drops
+    ~30 MB -> ~9 MB (the round-3 open item; the tunnel-bound trainer is H2D
+    limited).
+
+    Returns the GraphBatch field dict (arrays + static ints) or None
+    (caller falls back to the flat segment path)."""
+    from ..data.batch import bucket_size
+
+    em = np.asarray(edge_mask)
+    E = em.shape[0]
+    e_valid = int(em.sum())
+    if e_valid and not em[:e_valid].all():
+        return None  # valid edges not a contiguous prefix
+    src = np.asarray(edge_src)[:e_valid]
+    dst = np.asarray(edge_dst)[:e_valid]
+    if e_valid and np.any(np.diff(dst) < 0):
+        return None  # not dst-sorted
+    cnt_dst = np.bincount(dst, minlength=n_slots).astype(np.int64)
+    cnt_src = np.bincount(src, minlength=n_slots).astype(np.int64)
+    row_start_dst = np.zeros(n_slots + 1, np.int32)
+    row_start_dst[1:] = np.cumsum(cnt_dst)
+    row_start_src = np.zeros(n_slots + 1, np.int32)
+    row_start_src[1:] = np.cumsum(cnt_src)
+    edge_perm_src = np.zeros(E, np.int32)
+    edge_perm_src[:e_valid] = np.argsort(src, kind="stable")
+
+    nb = sfa_block_rows(n_slots)
+    nblk = n_slots // nb
+    per_blk = max(
+        int(cnt_dst.reshape(nblk, nb).sum(axis=1).max(initial=0)),
+        int(cnt_src.reshape(nblk, nb).sum(axis=1).max(initial=0)))
+    if eb is None:
+        eb = bucket_size(max(per_blk, 1), 64)
+    if per_blk > eb:
+        return None
+
+    fields = {
+        "sfa_row_start_dst": row_start_dst,
+        "sfa_row_start_src": row_start_src,
+        "edge_perm_src": edge_perm_src,
+        "sfa_nb": nb,
+        "sfa_eb": int(eb),
+    }
+
+    # ELL neighbor-slot caps (ops/ell.py), per direction as the explicit
+    # builder derives them: 0 = disabled (hub degree past ELL_K_CAP, or
+    # dataset-wide pin says so)
+    def _k(cnt):
+        kmax = max(int(cnt.max(initial=1)), 1)
+        if ell_k == 0:
+            return 0
+        if ell_k is None:
+            k = bucket_size(kmax, 8)
+            return k if k <= ELL_K_CAP else 0
+        return ell_k if kmax <= ell_k else 0
+
+    k_in, k_out = _k(cnt_dst), _k(cnt_src)
+    if k_in == 0 or k_out == 0:  # both or neither (consumers need the pair)
+        k_in = k_out = 0
+    fields["ell_k_in"], fields["ell_k_out"] = int(k_in), int(k_out)
+
+    # pooling plan: valid nodes must be graph-major (prefix + nondecreasing)
+    if node_graph is not None and num_graphs > 0:
+        nm = np.asarray(node_mask)
+        n_valid = int(nm.sum())
+        ng = np.asarray(node_graph)[:n_valid]
+        if (n_valid == 0 or nm[:n_valid].all()) and \
+                (n_valid == 0 or not np.any(np.diff(ng) < 0)):
+            g_pad = -(-num_graphs // POOL_NB) * POOL_NB
+            cnt_g = np.bincount(ng, minlength=g_pad).astype(np.int64)
+            per_pool = int(cnt_g.reshape(-1, POOL_NB).sum(axis=1)
+                           .max(initial=0))
+            if pool_eb is None:
+                pool_eb = bucket_size(max(per_pool, 1), 64)
+            if per_pool <= pool_eb:
+                fields["sfa_pool_eb"] = int(pool_eb)
+    return fields
+
+
 def build_sfa_fields(edge_src, edge_dst, edge_mask, edge_attr, n_slots: int,
                      eb: int = None, node_graph=None, node_mask=None,
                      num_graphs: int = 0, ell_k: int = None,

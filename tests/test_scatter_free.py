@@ -14,19 +14,77 @@ from graphtrans_tpu.nn import conv as conv_mod
 from graphtrans_tpu.nn.conv import GCNConv, GINConv
 from graphtrans_tpu.nn.encoders import LinearEdgeEncoder
 from graphtrans_tpu.ops import block_plan as bp
+from graphtrans_tpu.ops import plan_expand
 
 
-def _sfa_batch(num_graphs=8, min_nodes=20, max_nodes=120, seed=5):
+def _sfa_batch(num_graphs=8, min_nodes=20, max_nodes=120, seed=5,
+               explicit=False):
     raw = make_code_dataset(num_graphs=num_graphs, min_nodes=min_nodes,
                             max_nodes=max_nodes, seed=seed)
     graphs = [augment_edge(g) for g in raw]
     ncap, ecap = dataset_caps(graphs, num_graphs)
     return collate(graphs, num_graphs + 1, ncap, ecap, num_tasks=4,
-                   y_dtype="float32", scatter_free=True)
+                   y_dtype="float32", scatter_free=True,
+                   sfa_explicit=explicit)
+
+
+def test_compressed_plans_match_explicit():
+    """The compressed shipping format (row starts + one src-sort permutation,
+    ops/plan_expand.py) expands on device to EXACTLY the host-built explicit
+    plans: identical ELL plans, identical GCN norms/inv-deg per slot, and
+    bit-equal aggregation/pooling results."""
+    be = _sfa_batch(explicit=True)
+    bc = _sfa_batch()
+    assert be.sfa_dst is not None and bc.sfa_row_start_dst is not None
+    assert bc.sfa_eb > 0 and bc.sfa_pool_eb > 0
+    # ELL plans are bit-identical (same stable orders)
+    ed_c, es_c = jax.jit(plan_expand.ell_plans)(bc)
+    for got, want in ((ed_c, be.ell_dst), (es_c, be.ell_src)):
+        np.testing.assert_array_equal(np.asarray(got["other_g"]),
+                                      np.asarray(want["other_g"]))
+        np.testing.assert_array_equal(np.asarray(got["mask"]),
+                                      np.asarray(want["mask"]))
+    # expanded scatter plans cover the same (major, other) edge multiset
+    pd_c, ps_c = jax.jit(plan_expand.sfa_plans)(bc)
+    nb = bc.sfa_nb
+    em = np.asarray(bc.edge_mask)
+    for plan, major, other in ((pd_c, bc.edge_dst, bc.edge_src),
+                               (ps_c, bc.edge_src, bc.edge_dst)):
+        mask = np.asarray(plan["mask"]) > 0
+        assert int(mask.sum()) == int(em.sum())
+        L = mask.shape[0]
+        eb = L // (bc.node_graph.shape[0] // nb)
+        blk = np.arange(L) // eb
+        major_g = (blk * nb + np.asarray(plan["loc"]))[mask]
+        got = sorted(zip(major_g.tolist(),
+                         np.asarray(plan["other_g"])[mask].tolist()))
+        want = sorted(zip(np.asarray(major)[em].tolist(),
+                          np.asarray(other)[em].tolist()))
+        assert got == want
+    # GCN normalization: derived == host-precomputed (per valid slot)
+    (nd, ns), inv = jax.jit(plan_expand.sfa_gcn)(bc)
+    np.testing.assert_allclose(np.asarray(inv[:, 0]),
+                               np.asarray(be.sfa_inv_deg), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(nd)[np.asarray(pd_c["mask"]) > 0]),
+        np.sort(np.asarray(be.sfa_gcn_norm_dst)[
+            np.asarray(be.sfa_dst["mask"]) > 0]), rtol=1e-6)
+    # pooling plan: identical per-graph sums
+    from graphtrans_tpu.ops.scatter_free import graph_sum_sfa
+
+    rs = np.random.default_rng(0)
+    h = jnp.asarray(rs.standard_normal(
+        (bc.node_feat.shape[0], 32)).astype(np.float32))
+    pp = jax.jit(plan_expand.pool_plan)(bc)
+    ge = graph_sum_sfa(h, be.node_graph, be.node_mask, be.sfa_pool,
+                       be.num_graph_slots)
+    gc = graph_sum_sfa(h, bc.node_graph, bc.node_mask, pp,
+                       bc.num_graph_slots)
+    np.testing.assert_array_equal(np.asarray(ge), np.asarray(gc))
 
 
 def test_scatter_plan_pair_covers_all_edges():
-    batch = _sfa_batch()
+    batch = _sfa_batch(explicit=True)
     assert batch.sfa_dst is not None
     em = np.asarray(batch.edge_mask)
     nb = batch.sfa_nb
@@ -62,12 +120,13 @@ def test_scatter_plan_pair_covers_all_edges():
 
 @pytest.mark.parametrize("conv_kind", ["gin", "gcn"])
 @pytest.mark.parametrize("route", ["ell", "onehot"])
-def test_scatter_free_conv_matches_segment_path(rng, conv_kind, route,
+@pytest.mark.parametrize("fmt", ["compressed", "explicit"])
+def test_scatter_free_conv_matches_segment_path(rng, conv_kind, route, fmt,
                                                 monkeypatch):
     # the ELL arm's batch fields are opt-in (measured loss in production —
     # see nn/conv._ELL_GMS) but their parity stays pinned here
     monkeypatch.setattr(bp, "_ELL_EDGE_FIELDS", route == "ell")
-    batch = _sfa_batch()
+    batch = _sfa_batch(explicit=(fmt == "explicit"))
     d = 128
     enc = LinearEdgeEncoder(d)
     conv = (GINConv(emb_dim=d, edge_encoder=enc) if conv_kind == "gin"
@@ -77,7 +136,9 @@ def test_scatter_free_conv_matches_segment_path(rng, conv_kind, route,
     h = jnp.asarray(h)
     variables = conv.init(jax.random.key(0), batch, h, False)
     if route == "ell":
-        assert batch.ell_dst is not None and batch.edge_attr_ell is not None
+        assert plan_expand.has_ell(batch)
+        if fmt == "explicit":
+            assert batch.edge_attr_ell is not None
     # pin the scatter-free inner route (ELL columns vs one-hot dot) so BOTH
     # arms keep parity coverage regardless of the auto heuristic
     monkeypatch.setattr(conv_mod, "_ELL_GMS",
@@ -118,11 +179,13 @@ def test_loader_attaches_sfa_plans():
     ld = GraphLoader(graphs, batch_size=8, num_tasks=4, y_dtype="float32",
                      scatter_free=True)
     batches = list(ld)
-    assert batches and all(b.sfa_dst is not None for b in batches)
+    assert batches and all(b.sfa_row_start_dst is not None for b in batches)
     for b in batches:
-        assert int((np.asarray(b.sfa_dst["mask"]) > 0).sum()) == int(
+        # row_start[-1] = valid edge count (compressed CSR invariant)
+        assert int(np.asarray(b.sfa_row_start_dst)[-1]) == int(
             np.asarray(b.edge_mask).sum())
         assert b.sfa_nb > 0 and b.node_graph.shape[0] % b.sfa_nb == 0
+        assert b.sfa_eb > 0
     # shard stacking: pinned dataset-wide caps make every shard's plans
     # identically shaped, so they stack tree-wise
     ld2 = GraphLoader(graphs, batch_size=8, num_tasks=4, y_dtype="float32",
@@ -131,8 +194,8 @@ def test_loader_attaches_sfa_plans():
     stacked = list(ld2)
     assert stacked
     for b in stacked:
-        assert b.sfa_dst is not None
-        assert b.sfa_dst["mask"].shape[0] == 2  # leading shard axis
+        assert b.sfa_row_start_dst is not None
+        assert b.sfa_row_start_dst.shape[0] == 2  # leading shard axis
         assert b.sfa_nb > 0
     # hybrid partitioning still gates plans off
     ld3 = GraphLoader(graphs, batch_size=8, num_tasks=4, y_dtype="float32",
@@ -149,7 +212,8 @@ def test_graph_sum_sfa_matches_segment(rng, monkeypatch):
     from graphtrans_tpu.ops.segment import segment_sum
 
     batch = _sfa_batch()
-    assert batch.sfa_pool is not None
+    assert plan_expand.has_pool(batch)
+    sfa_pool = jax.jit(plan_expand.pool_plan)(batch)
     d = 64
     h = jnp.asarray(
         rng.standard_normal((batch.node_feat.shape[0], d)).astype(np.float32))
@@ -158,14 +222,14 @@ def test_graph_sum_sfa_matches_segment(rng, monkeypatch):
 
     ref = segment_sum(h, batch.node_graph, G, mask=batch.node_mask)
     got = graph_sum_sfa(h, batch.node_graph, batch.node_mask,
-                        batch.sfa_pool, G)
+                        sfa_pool, G)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
     g_ref = jax.grad(lambda t: jnp.sum(
         segment_sum(t, batch.node_graph, G, mask=batch.node_mask) ** 2))(h)
     g_got = jax.grad(lambda t: jnp.sum(graph_sum_sfa(
-        t, batch.node_graph, batch.node_mask, batch.sfa_pool, G) ** 2))(h)
+        t, batch.node_graph, batch.node_mask, sfa_pool, G) ** 2))(h)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
 
@@ -177,7 +241,7 @@ def test_pna_ell_matches_segment_path(rng, monkeypatch):
     from graphtrans_tpu.nn.pna import PNAConv
 
     batch = _sfa_batch()
-    assert batch.ell_dst is not None
+    assert plan_expand.has_ell(batch)
     F = 64
     conv = PNAConv(emb_dim=F, towers=4, avg_deg_log=1.3, avg_deg_lin=3.0)
     h = rng.standard_normal((batch.node_feat.shape[0], F)).astype(np.float32)
@@ -216,7 +280,7 @@ def test_pna_ell_var_and_sum_aggregators(rng, monkeypatch):
     from graphtrans_tpu.nn.pna import PNAConv
 
     batch = _sfa_batch()
-    assert batch.ell_dst is not None
+    assert plan_expand.has_ell(batch)
     F = 64
     conv = PNAConv(emb_dim=F, towers=4, avg_deg_log=1.3, avg_deg_lin=3.0,
                    aggregators=("mean", "var", "sum"))
@@ -270,8 +334,9 @@ def test_scatter_free_large_graphs_and_hub_fallback(rng, monkeypatch):
                          num_tasks=2, y_dtype="int32", max_input_len=512,
                          scatter_free=True, use_native=False)
     batch = next(iter(loader))
-    assert batch.sfa_dst is not None
-    assert batch.ell_dst is None  # hub exceeded ELL_K_CAP -> disabled
+    assert batch.sfa_row_start_dst is not None
+    assert batch.ell_k_in == 0  # hub exceeded ELL_K_CAP -> ELL disabled
+    assert not plan_expand.has_ell(batch)
     # truncation happened in the dense packing only
     assert batch.max_nodes_dense <= 512
     assert int(np.asarray(batch.node_mask).sum()) == sum(

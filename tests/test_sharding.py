@@ -405,7 +405,8 @@ def test_dp_step_with_scatter_free_plans(rng, monkeypatch):
     loader = GraphLoader(graphs, batch_size=16, shuffle=False, seed=0,
                          num_shards=2, scatter_free=True, use_native=False)
     stacked = next(iter(loader))
-    assert stacked.sfa_dst is not None
+    assert stacked.sfa_row_start_dst is not None
+    assert stacked.sfa_row_start_dst.shape[0] == 2  # leading shard axis
 
     args = default_args(model_type="gnn-transformer", gnn_type="gcn",
                         gnn_dropout=0.0, transformer_dropout=0.0,

@@ -313,7 +313,7 @@ def test_flag_trainer_composes_with_scatter_free(monkeypatch):
     model = model_cls.build(2, args, LinearNodeEncoder(args.gnn_emb_dim),
                             lambda e: LinearEdgeEncoder(e))
     sample = next(iter(loader))
-    assert sample.sfa_dst is not None
+    assert sample.sfa_row_start_dst is not None
     variables = model.init(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         sample, None, False,
