@@ -113,6 +113,7 @@ class GraphBatch:
     sfa_row_start_dst: Any = None   # [N+1] i32 (valid edges, dst-sorted prefix)
     sfa_row_start_src: Any = None   # [N+1] i32 (indexes edge_perm_src order)
     edge_perm_src: Any = None       # [E] i32 stable src-sort of valid edges
+    edge_gcn_norm_e: Any = None     # [E] f32 structural GCN norm, edge order
 
     # --- static metadata (aux_data, not traced) ---
     max_nodes_dense: int = dataclasses.field(default=0, metadata=dict(static=True))

@@ -16,7 +16,14 @@ _SENTINEL = object()
 
 
 def device_prefetch(iterable: Iterable, size: int = 2, device=None) -> Iterator:
-    """Yields device-resident batches, keeping up to `size` in flight."""
+    """Yields device-resident batches, keeping up to `size` in flight.
+
+    Compressed scatter-free plans are deliberately NOT expanded here:
+    running the expansion as a separate prefetch-stage jit measured
+    ~430 ms/batch of per-call RPC overhead through this environment's
+    network tunnel (the expanded batch returns ~30 device buffers). The
+    trainers/eval forwards expand INSIDE their jitted step instead
+    (ops/plan_expand.expand_inline — once per step, ~4 ms device time)."""
     q: queue.Queue = queue.Queue(maxsize=size)
     err: list = []
 

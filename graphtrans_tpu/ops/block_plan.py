@@ -392,10 +392,19 @@ def build_sfa_compressed(edge_src, edge_dst, edge_mask, n_slots: int,
     if per_blk > eb:
         return None
 
+    # per-edge GCN normalization in EDGE order (structural; deriving the
+    # two dis[] lookups on device would cost two 1-D gathers, which lower
+    # to scalar SMEM loops on TPU — ~3.5 ms each at this size)
+    deg = cnt_src.astype(np.float64) + 1.0
+    dis = deg ** -0.5
+    norm_e = np.zeros(E, np.float32)
+    norm_e[:e_valid] = (dis[src] * dis[dst]).astype(np.float32)
+
     fields = {
         "sfa_row_start_dst": row_start_dst,
         "sfa_row_start_src": row_start_src,
         "edge_perm_src": edge_perm_src,
+        "edge_gcn_norm_e": norm_e,
         "sfa_nb": nb,
         "sfa_eb": int(eb),
     }
@@ -430,8 +439,12 @@ def build_sfa_compressed(edge_src, edge_dst, edge_mask, n_slots: int,
                            .max(initial=0))
             if pool_eb is None:
                 pool_eb = bucket_size(max(per_pool, 1), 64)
-            if per_pool <= pool_eb:
-                fields["sfa_pool_eb"] = int(pool_eb)
+            elif per_pool > pool_eb:
+                # a PINNED pool budget is a shape contract (one executable
+                # per epoch) — overflow must fall back/split, not silently
+                # change the static and retrace
+                return None
+            fields["sfa_pool_eb"] = int(pool_eb)
     return fields
 
 

@@ -1,23 +1,32 @@
 """Device-side expansion of compressed scatter-free plans.
 
-The host ships only CSR row starts (``sfa_row_start_dst/src`` [N+1] i32) and
-one src-sorted edge permutation (``edge_perm_src`` [E] i32) — see
-ops/block_plan.build_sfa_compressed. Everything the scatter-free /ELL/pool
-consumers need (slot plans, slot-ordered edge attrs, GCN degree norms) is
-derived here INSIDE the jitted step from those three arrays plus the batch's
-existing edge/node fields:
+The host ships only CSR row starts (``sfa_row_start_dst/src`` [N+1] i32),
+one src-sorted edge permutation (``edge_perm_src`` [E] i32), and the
+structural per-edge GCN norm (``edge_gcn_norm_e`` [E] f32) — see
+ops/block_plan.build_sfa_compressed. Everything the scatter-free/ELL/pool
+consumers need (slot plans, slot-ordered edge attrs, GCN norms) is derived
+on device from those plus the batch's existing edge/node fields:
 
   * the batch's valid edges are a dst-sorted prefix, so dst-major block b's
     slots are the contiguous edge rows [row_start[b*nb], row_start[(b+1)*nb])
-  * src-major twins read the same ranges of ``edge_perm_src``
+  * src-major twins read the same ranges through ``edge_perm_src``
   * valid nodes are graph-major, so pooling blocks are contiguous node rows
     (starts from cumsum(num_nodes))
 
-Expansion is a handful of [L]-sized int gathers/compares (~1 MB each at
-code2 scale — microseconds), traded against ~20 MB/batch of H2D on the
-round-3 profile. Unused outputs are dead-code-eliminated by XLA, so helpers
-compute eagerly and let consumers pick. Legacy batches that carry explicit
-plan dicts (tests, old callers) pass through unchanged.
+TPU LOWERING RULE (measured, v5e): a 1-D dynamic gather lowers to a scalar
+SMEM loop (~15 ns/element — 3.5-5 ms per [245k] gather; the profile shows
+s32[L] S(1) copy-start staging), while a ROW gather of a 2-D operand runs
+vectorized (~1.3 ms for [E,4] i32 at the same index count). So the
+expansion packs (src, dst, norm_bits, attrs...) into ONE [E, 3+Fe] i32
+operand and does exactly three row gathers: pack[slots_dst],
+pack[perm][slots_src] — every per-slot field is a column slice of those.
+
+The production route is ONE expansion per jitted train/eval step
+(expand_inline at the step top — per-layer lazy derivation is not CSE'd by
+XLA and measured +18 ms/step). A separate prefetch-stage expansion jit was
+measured and REJECTED: ~430 ms/batch of per-call RPC overhead through this
+environment's network tunnel (the expanded batch returns ~30 device
+buffers).
 
 Replaces the host-built plan shipping for the torch-scatter role
 (/root/reference/requirement.yml:98) on flat-layout TPU batches.
@@ -25,10 +34,19 @@ Replaces the host-built plan shipping for the torch-scatter role
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from .block_plan import POOL_NB
+
+
+def _take(arr, idx):
+    """Gather with promise_in_bounds: every plan index is in-bounds by
+    construction (invalid slots are where'd to 0, perm pads are 0), so the
+    fill-mode bounds select and the clip clamp are both dead weight."""
+    return jnp.asarray(arr).at[idx].get(mode="promise_in_bounds")
 
 
 def has_sfa(batch) -> bool:
@@ -58,10 +76,16 @@ def sfa_slots(batch) -> int:
     return (n // batch.sfa_nb) * batch.sfa_eb
 
 
+# ---------------------------------------------------------------------------
+# packed row-gather core
+# ---------------------------------------------------------------------------
+
+
 def _block_slots(row_start, nb: int, eb: int):
     """[N+1] row starts -> (edge row per slot [nblk*eb], valid [nblk*eb],
     block id per slot). Block b's slots cover rows
-    [row_start[b*nb], row_start[(b+1)*nb))."""
+    [row_start[b*nb], row_start[(b+1)*nb)). No gathers — strided slice,
+    iota, compare."""
     n1 = row_start.shape[0]
     nblk = (n1 - 1) // nb
     starts = jax.lax.slice(row_start, (0,), (n1,), (nb,))  # [nblk+1]
@@ -73,31 +97,86 @@ def _block_slots(row_start, nb: int, eb: int):
             blk.reshape(-1))
 
 
-def _plan(pe, valid, blk, nb, major, other):
-    loc = jnp.where(valid, jnp.take(major, pe) - blk * nb, 0)
-    return {"other_g": jnp.where(valid, jnp.take(other, pe), 0),
-            "loc": loc, "mask": valid.astype(jnp.float32)}
+def _edge_pack(batch):
+    """[E, 3+Fe] i32: columns (src, dst, gcn_norm bits, attr...). Built
+    elementwise (stack + bitcast/cast), consumed by wide ROW gathers."""
+    cols = [batch.edge_src.astype(jnp.int32),
+            batch.edge_dst.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(
+                batch.edge_gcn_norm_e.astype(jnp.float32), jnp.int32)]
+    ea = batch.edge_attr
+    if jnp.issubdtype(ea.dtype, jnp.floating):
+        acols = jax.lax.bitcast_convert_type(
+            ea.astype(jnp.float32), jnp.int32)
+    else:
+        acols = ea.astype(jnp.int32)
+    return jnp.concatenate([jnp.stack(cols, axis=1), acols], axis=1)
 
 
-def _slot_rows(batch):
-    """(pe_dst, valid_dst, blk_dst), (pe_src, valid_src, blk_src) — edge
-    rows per slot for both plan orders (src-major goes through the
-    src-sorted permutation)."""
+def _unpack(rows, batch):
+    """Column views of one gathered pack: (src, dst, norm f32, attr)."""
+    src = rows[:, 0]
+    dst = rows[:, 1]
+    norm = jax.lax.bitcast_convert_type(rows[:, 2], jnp.float32)
+    acols = rows[:, 3:]
+    ea = batch.edge_attr
+    if jnp.issubdtype(ea.dtype, jnp.floating):
+        attr = jax.lax.bitcast_convert_type(acols, jnp.float32).astype(
+            ea.dtype)
+    else:
+        attr = acols.astype(ea.dtype)
+    return src, dst, norm, attr
+
+
+def _packed_rows(batch, pack=None, pack_src=None):
+    """((rows_d, valid_d, blk_d), (rows_s, valid_s, blk_s)) — the gathered
+    pack rows per slot for both plan orders. Exactly three row gathers."""
     nb, eb = batch.sfa_nb, batch.sfa_eb
+    if pack is None:
+        pack = _edge_pack(batch)
+    if pack_src is None:
+        pack_src = _take(pack, batch.edge_perm_src)   # [E, W] row gather
     pe_d, val_d, blk_d = _block_slots(batch.sfa_row_start_dst, nb, eb)
     ps, val_s, blk_s = _block_slots(batch.sfa_row_start_src, nb, eb)
-    pe_s = jnp.take(batch.edge_perm_src, ps)
-    return (pe_d, val_d, blk_d), (pe_s, val_s, blk_s)
+    rows_d = _take(pack, pe_d)                        # [L, W] row gather
+    rows_s = _take(pack_src, ps)                      # [L, W] row gather
+    return (rows_d, val_d, blk_d), (rows_s, val_s, blk_s)
+
+
+def _plans_from_rows(batch, rd, rs):
+    (rows_d, val_d, blk_d), (rows_s, val_s, blk_s) = rd, rs
+    nb = batch.sfa_nb
+    src_d, dst_d, _, _ = _unpack(rows_d, batch)
+    src_s, dst_s, _, _ = _unpack(rows_s, batch)
+    plan_d = {"other_g": jnp.where(val_d, src_d, 0),
+              "loc": jnp.where(val_d, dst_d - blk_d * nb, 0),
+              "mask": val_d.astype(jnp.float32)}
+    plan_s = {"other_g": jnp.where(val_s, dst_s, 0),
+              "loc": jnp.where(val_s, src_s - blk_s * nb, 0),
+              "mask": val_s.astype(jnp.float32)}
+    return plan_d, plan_s
+
+
+def _inv_deg(batch):
+    """GCN structural degree: out_degree(src)+1 over valid edges
+    (/root/reference/modules/conv.py:57), from the src row starts."""
+    rs = batch.sfa_row_start_src
+    deg = (rs[1:] - rs[:-1]).astype(jnp.float32) + 1.0
+    return 1.0 / deg
+
+
+# ---------------------------------------------------------------------------
+# per-consumer helpers (lazy fallback when the batch was not pre-expanded;
+# the production path expands once per step via expand_inline below)
+# ---------------------------------------------------------------------------
 
 
 def sfa_plans(batch):
     """(plan_dst, plan_src) dicts for ops/scatter_free.py."""
     if getattr(batch, "sfa_dst", None) is not None:
         return batch.sfa_dst, batch.sfa_src
-    (pe_d, val_d, blk_d), (pe_s, val_s, blk_s) = _slot_rows(batch)
-    nb = batch.sfa_nb
-    return (_plan(pe_d, val_d, blk_d, nb, batch.edge_dst, batch.edge_src),
-            _plan(pe_s, val_s, blk_s, nb, batch.edge_src, batch.edge_dst))
+    rd, rs = _packed_rows(batch)
+    return _plans_from_rows(batch, rd, rs)
 
 
 def sfa_edge_attr(batch):
@@ -106,17 +185,8 @@ def sfa_edge_attr(batch):
     encoders in-vocab)."""
     if getattr(batch, "edge_attr_sfa", None) is not None:
         return batch.edge_attr_sfa, batch.edge_attr_sfa_src
-    (pe_d, _, _), (pe_s, _, _) = _slot_rows(batch)
-    return (jnp.take(batch.edge_attr, pe_d, axis=0),
-            jnp.take(batch.edge_attr, pe_s, axis=0))
-
-
-def _deg_dis(batch):
-    """GCN structural degree: out_degree(src)+1 over valid edges
-    (/root/reference/modules/conv.py:57), from the src row starts."""
-    rs = batch.sfa_row_start_src
-    deg = (rs[1:] - rs[:-1]).astype(jnp.float32) + 1.0
-    return deg, deg ** -0.5
+    rd, rs = _packed_rows(batch)
+    return _unpack(rd[0], batch)[3], _unpack(rs[0], batch)[3]
 
 
 def sfa_gcn(batch):
@@ -125,34 +195,32 @@ def sfa_gcn(batch):
     if getattr(batch, "sfa_gcn_norm_dst", None) is not None:
         return ((batch.sfa_gcn_norm_dst, batch.sfa_gcn_norm_src),
                 batch.sfa_inv_deg[:, None])
-    deg, dis = _deg_dis(batch)
-    (pe_d, _, _), (pe_s, _, _) = _slot_rows(batch)
-
-    def norm(pe):
-        return (jnp.take(dis, jnp.take(batch.edge_src, pe))
-                * jnp.take(dis, jnp.take(batch.edge_dst, pe)))
-
-    return (norm(pe_d), norm(pe_s)), (1.0 / deg)[:, None]
+    rd, rs = _packed_rows(batch)
+    return ((_unpack(rd[0], batch)[2], _unpack(rs[0], batch)[2]),
+            _inv_deg(batch)[:, None])
 
 
-def _ell_rows(batch):
+def _ell_rows(batch, pack=None, pack_src=None):
+    if pack is None:
+        pack = _edge_pack(batch)
+    if pack_src is None:
+        pack_src = _take(pack, batch.edge_perm_src)
     pe_d, val_d, _ = _block_slots(batch.sfa_row_start_dst, 1,
                                   batch.ell_k_in)
     ps, val_s, _ = _block_slots(batch.sfa_row_start_src, 1,
                                 batch.ell_k_out)
-    pe_s = jnp.take(batch.edge_perm_src, ps)
-    return (pe_d, val_d), (pe_s, val_s)
+    return (_take(pack, pe_d), val_d), (_take(pack_src, ps), val_s)
 
 
-def ell_plans(batch):
+def ell_plans(batch, _rows=None):
     """(plan_dst, plan_src) for ops/ell.py: node n's incoming (dst plan) /
     outgoing (src plan) edges at slots [n*K, n*K+deg)."""
     if getattr(batch, "ell_dst", None) is not None:
         return batch.ell_dst, batch.ell_src
-    (pe_d, val_d), (pe_s, val_s) = _ell_rows(batch)
-    return ({"other_g": jnp.where(val_d, jnp.take(batch.edge_src, pe_d), 0),
+    (rows_d, val_d), (rows_s, val_s) = _rows or _ell_rows(batch)
+    return ({"other_g": jnp.where(val_d, rows_d[:, 0], 0),
              "mask": val_d.astype(jnp.float32)},
-            {"other_g": jnp.where(val_s, jnp.take(batch.edge_dst, pe_s), 0),
+            {"other_g": jnp.where(val_s, rows_s[:, 1], 0),
              "mask": val_s.astype(jnp.float32)})
 
 
@@ -161,22 +229,15 @@ def ell_edge_attr(batch):
     aggregation route (nn/conv._ELL_GMS)."""
     if getattr(batch, "edge_attr_ell", None) is not None:
         return batch.edge_attr_ell, batch.edge_attr_ell_src
-    (pe_d, _), (pe_s, _) = _ell_rows(batch)
-    return (jnp.take(batch.edge_attr, pe_d, axis=0),
-            jnp.take(batch.edge_attr, pe_s, axis=0))
+    (rows_d, _), (rows_s, _) = _ell_rows(batch)
+    return _unpack(rows_d, batch)[3], _unpack(rows_s, batch)[3]
 
 
 def ell_gcn_norms(batch):
     if getattr(batch, "ell_gcn_norm_dst", None) is not None:
         return batch.ell_gcn_norm_dst, batch.ell_gcn_norm_src
-    _, dis = _deg_dis(batch)
-    (pe_d, _), (pe_s, _) = _ell_rows(batch)
-
-    def norm(pe):
-        return (jnp.take(dis, jnp.take(batch.edge_src, pe))
-                * jnp.take(dis, jnp.take(batch.edge_dst, pe)))
-
-    return norm(pe_d), norm(pe_s)
+    (rows_d, _), (rows_s, _) = _ell_rows(batch)
+    return _unpack(rows_d, batch)[2], _unpack(rows_s, batch)[2]
 
 
 def in_degree_f32(batch):
@@ -199,7 +260,71 @@ def pool_plan(batch):
     node_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(nn)])
     pe, valid, blk = _block_slots(node_start, POOL_NB, batch.sfa_pool_eb)
-    loc = jnp.where(valid,
-                    jnp.take(batch.node_graph, pe) - blk * POOL_NB, 0)
+    # row-gather form: 1-D gathers lower to scalar SMEM loops on TPU
+    ng = _take(batch.node_graph[:, None], pe)[:, 0]
+    loc = jnp.where(valid, ng - blk * POOL_NB, 0)
     return {"other_g": jnp.where(valid, pe, 0), "loc": loc,
             "mask": valid.astype(jnp.float32)}
+
+
+# ---------------------------------------------------------------------------
+# once-per-step expansion (the production route)
+# ---------------------------------------------------------------------------
+
+
+def needs_expansion(batch) -> bool:
+    return (getattr(batch, "sfa_row_start_dst", None) is not None
+            and getattr(batch, "sfa_dst", None) is None)
+
+
+def _expand_one(batch, want_ell: bool = True):
+    import dataclasses
+
+    pack = _edge_pack(batch)
+    pack_src = _take(pack, batch.edge_perm_src)
+    rd, rs = _packed_rows(batch, pack, pack_src)
+    plan_d, plan_s = _plans_from_rows(batch, rd, rs)
+    _, _, nd, ea_d = _unpack(rd[0], batch)
+    _, _, ns, ea_s = _unpack(rs[0], batch)
+    fields = dict(sfa_dst=plan_d, sfa_src=plan_s,
+                  edge_attr_sfa=ea_d, edge_attr_sfa_src=ea_s,
+                  sfa_gcn_norm_dst=nd, sfa_gcn_norm_src=ns,
+                  sfa_inv_deg=_inv_deg(batch))
+    if want_ell and batch.ell_k_in > 0:
+        fields["ell_dst"], fields["ell_src"] = ell_plans(
+            batch, _rows=_ell_rows(batch, pack, pack_src))
+    if getattr(batch, "sfa_pool_eb", 0) > 0:
+        fields["sfa_pool"] = pool_plan(batch)
+    return dataclasses.replace(batch, **fields)
+
+
+@functools.cache
+def _expand_jit(stacked: bool, want_ell: bool):
+    fn = functools.partial(_expand_one, want_ell=want_ell)
+    if stacked:
+        fn = jax.vmap(fn)
+    return jax.jit(fn)
+
+
+def expand_batch(batch, want_ell: bool = True):
+    """Standalone jitted expansion (tests / tools). Handles both flat and
+    shard-stacked batches (leading axis). NOT used by the trainers: a
+    separate expansion jit pays per-call RPC overhead through tunneled
+    backends — they call expand_inline inside their own jit instead."""
+    if not needs_expansion(batch):
+        return batch
+    stacked = batch.node_graph.ndim == 2
+    return _expand_jit(stacked, want_ell)(batch)
+
+
+def expand_inline(batch, want_ell: bool = True):
+    """Trace-time expansion for use INSIDE an already-jitted step/forward:
+    expands once per step so the per-layer consumers find explicit plans
+    (lazy per-layer derivation is not CSE'd across layers by XLA —
+    measured +18 ms/step on the code2 bench). The presence check is on
+    pytree STRUCTURE, so it resolves at trace time. Pass want_ell=False
+    for models that never touch the ELL reducers (everything but PNA) —
+    the ELL row gathers are the largest single expansion cost ([N*K, W])."""
+    if not needs_expansion(batch):
+        return batch
+    return _expand_one(batch, want_ell=want_ell)

@@ -79,7 +79,9 @@ def make_dp_eval_fn(model, n_shards: int) -> Callable:
     mesh = make_mesh(dp=n_shards)
 
     def body(params, batch_stats, sharded_batch):
-        batch = _squeeze0(sharded_batch)
+        from ..ops.plan_expand import expand_inline
+
+        batch = expand_inline(_squeeze0(sharded_batch))
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           batch, None, False)
         return out[None]

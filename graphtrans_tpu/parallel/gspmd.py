@@ -103,8 +103,11 @@ def place_batch(batch, mesh: Mesh):
 def make_gspmd_eval_fn(model, mesh: Mesh) -> Callable:
     """Eval forward under the dp×tp mesh: batch sharded over 'data',
     megatron-sharded weights stay resident; returns host-friendly output."""
+    from ..ops.plan_expand import expand_inline
+
     jitted = jax.jit(lambda params, batch_stats, batch: model.apply(
-        {"params": params, "batch_stats": batch_stats}, batch, None, False))
+        {"params": params, "batch_stats": batch_stats},
+        expand_inline(batch), None, False))
 
     def fwd(params, batch_stats, batch):
         with jax.sharding.set_mesh(mesh):

@@ -83,7 +83,17 @@ class BaseTrainer:
         compute in f32."""
         cast = make_param_cast(args)
 
+        # ELL plans only feed PNA's min/max reducers — skip their [N*K]
+        # row gathers for every other model
+        want_ell = ("PNA" in type(model).__name__
+                    or getattr(args, "gnn_type", "") == "pna")
+
         def grad_fn(state: TrainState, batch, rng):
+            # expand compressed scatter-free plans ONCE per step (in-jit;
+            # per-layer lazy derivation is not CSE'd by XLA — measured)
+            from ..ops.plan_expand import expand_inline
+
+            batch = expand_inline(batch, want_ell=want_ell)
             rng = jax.random.fold_in(rng, state.step)
 
             def loss_fn(params):

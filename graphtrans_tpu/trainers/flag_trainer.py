@@ -46,7 +46,14 @@ class FlagTrainer(BaseTrainer):
         emb_dim = args.gnn_emb_dim
         cast = make_param_cast(args)
 
+        want_ell = ("PNA" in type(model).__name__
+                    or getattr(args, "gnn_type", "") == "pna")
+
         def grad_fn(state: TrainState, batch, rng, perturb0=None):
+            # expand compressed plans once — OUTSIDE the m-step ascent scan
+            from ..ops.plan_expand import expand_inline
+
+            batch = expand_inline(batch, want_ell=want_ell)
             rng = jax.random.fold_in(rng, state.step)
             pk, dk = jax.random.split(rng)
             n_nodes = batch.node_mask.shape[0]

@@ -21,6 +21,7 @@ import numpy as np
 
 from graphtrans_tpu.data import DATASET_UTILS
 from graphtrans_tpu.data.loader import GraphLoader, dataset_caps
+from graphtrans_tpu.ops import plan_expand
 from graphtrans_tpu.models import get_model_and_parser
 from graphtrans_tpu.train import checkpoint as ckpt
 from graphtrans_tpu.train.optim import PlateauScheduler, build_optimizer, read_lr, set_lr
@@ -435,7 +436,8 @@ def main():
                                          node_encoder, bundle.edge_encoder_cls,
                                          deg=bundle.deg)
             fwd = jax.jit(lambda params, batch_stats, batch: eval_model.apply(
-                {"params": params, "batch_stats": batch_stats}, batch, None, False))
+                {"params": params, "batch_stats": batch_stats},
+                plan_expand.expand_inline(batch), None, False))
         elif args.use_gspmd:
             from graphtrans_tpu.parallel import gspmd
 
@@ -464,7 +466,8 @@ def main():
                                          node_encoder, bundle.edge_encoder_cls,
                                          deg=bundle.deg)
             eval_jit = jax.jit(lambda p, bs, b: eval_model.apply(
-                {"params": p, "batch_stats": bs}, b, None, False))
+                {"params": p, "batch_stats": bs},
+                plan_expand.expand_inline(b), None, False))
             host_cache = {}
 
             def fwd(params, batch_stats, batch):
@@ -484,7 +487,8 @@ def main():
             step_fn = trainer.make_train_step(model, calc_loss, tx, args,
                                               gnn_subtree=model_cls.gnn_subtree)
             fwd = jax.jit(lambda params, batch_stats, batch: model.apply(
-                {"params": params, "batch_stats": batch_stats}, batch, None, False))
+                {"params": params, "batch_stats": batch_stats},
+                plan_expand.expand_inline(batch), None, False))
 
         # multi-host: one process owns checkpoint writes (all processes
         # compute identical replicated state; non-primary writes would race
