@@ -128,18 +128,40 @@ def _unpack(rows, batch):
     return src, dst, norm, attr
 
 
+def _block_rows(pack, row_start, nb: int, eb: int):
+    """Slot rows via nblk dynamic SLICES instead of a gather: block b's
+    slot rows are the CONTIGUOUS pack rows [row_start[b*nb], +eb) (tail
+    junk is masked by the callers' valid). Beats the equivalent [L, W]
+    row gather both standalone and — decisively — inside the train step,
+    where the gather fusion measured 3.45 ms at [287k, 5]."""
+    n1 = row_start.shape[0]
+    nblk = (n1 - 1) // nb
+    W = pack.shape[1]
+    packp = jnp.concatenate(
+        [pack, jnp.zeros((eb, W), pack.dtype)], axis=0)
+    starts = jax.lax.slice(row_start, (0,), (n1,), (nb,))
+
+    def body(i, out):
+        sl = jax.lax.dynamic_slice(packp, (starts[i], 0), (eb, W))
+        return jax.lax.dynamic_update_slice(out, sl, (i * eb, 0))
+
+    return jax.lax.fori_loop(
+        0, nblk, body, jnp.zeros((nblk * eb, W), pack.dtype))
+
+
 def _packed_rows(batch, pack=None, pack_src=None):
-    """((rows_d, valid_d, blk_d), (rows_s, valid_s, blk_s)) — the gathered
-    pack rows per slot for both plan orders. Exactly three row gathers."""
+    """((rows_d, valid_d, blk_d), (rows_s, valid_s, blk_s)) — the pack rows
+    per slot for both plan orders: two block-contiguous slice expansions
+    plus the one genuine permutation gather (pack[edge_perm_src])."""
     nb, eb = batch.sfa_nb, batch.sfa_eb
     if pack is None:
         pack = _edge_pack(batch)
     if pack_src is None:
         pack_src = _take(pack, batch.edge_perm_src)   # [E, W] row gather
-    pe_d, val_d, blk_d = _block_slots(batch.sfa_row_start_dst, nb, eb)
-    ps, val_s, blk_s = _block_slots(batch.sfa_row_start_src, nb, eb)
-    rows_d = _take(pack, pe_d)                        # [L, W] row gather
-    rows_s = _take(pack_src, ps)                      # [L, W] row gather
+    _, val_d, blk_d = _block_slots(batch.sfa_row_start_dst, nb, eb)
+    _, val_s, blk_s = _block_slots(batch.sfa_row_start_src, nb, eb)
+    rows_d = _block_rows(pack, batch.sfa_row_start_dst, nb, eb)
+    rows_s = _block_rows(pack_src, batch.sfa_row_start_src, nb, eb)
     return (rows_d, val_d, blk_d), (rows_s, val_s, blk_s)
 
 
