@@ -214,6 +214,9 @@ def time_eval(model, state, batch, emb_dim, iters=8):
 
     @functools.partial(jax.jit, static_argnums=2)
     def eval_k(variables, batch, k):
+        from graphtrans_tpu.ops.plan_expand import expand_inline
+
+        batch = expand_inline(batch)  # once per jit, shared by all k fwds
         c = jnp.zeros((), jnp.float32)
         for _ in range(k):
             perturb = jnp.zeros((N, emb_dim), jnp.float32) + c * 1e-9

@@ -196,8 +196,9 @@ def make_loaders(bundle, args, num_shards=1, process_count=1, process_index=0):
         # for flat layouts. Only hybrid partitioning and the dense layout
         # gate it off; under DP shard stacking the plans are built with
         # pinned dataset-wide caps so shards stack tree-wise (tested in
-        # tests/test_sharding.py). Measured 106.0 vs 116.8 ms on the code2
-        # bench arm
+        # tests/test_sharding.py). Measured 108.5 vs 116.8 ms on the code2
+        # bench arm (120.0 vs 117.9 at sampled epoch-wide slot budgets —
+        # a wash at code2 shapes; see tools/tunnel_epoch_ab.py)
         scatter_free=getattr(args, "scatter_free", "auto") != "off",
     )
     if getattr(args, "use_dense_layout", False):

@@ -68,8 +68,11 @@ def main():
     else:
         logger.warning("no --checkpoint given: predicting with random init")
 
+    from graphtrans_tpu.ops.plan_expand import expand_inline
+
     fwd = jax.jit(lambda batch: model.apply(
-        {"params": params, "batch_stats": batch_stats}, batch, None, False))
+        {"params": params, "batch_stats": batch_stats},
+        expand_inline(batch), None, False))
 
     n = 0
     with open(args.out, "w") as f:
