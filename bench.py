@@ -133,7 +133,8 @@ def build_code2(batch_size=512, emb=300, seed=0, precision="bf16",
     caps = dataset_caps(graphs, batch_size)
     batch = collate(graphs, batch_size + 1, caps[0], caps[1],
                     num_tasks=len(vocab2idx), max_seq_len=5,
-                    y_dtype="int32", scatter_free=True)
+                    y_dtype="int32", scatter_free=True,
+                    ell_explicit=(model == "pna-transformer"))
     deg = None
     if model == "pna-transformer":
         # reference PNA code2 config (configs/code2/pna-transformer/

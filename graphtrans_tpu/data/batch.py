@@ -179,6 +179,7 @@ def collate(
     scatter_free: bool = False,
     sfa_eb: int = 0,
     sfa_explicit: bool = False,
+    ell_explicit: bool = False,
 ) -> GraphBatch:
     """Assemble a list of host-side graph dicts into one padded GraphBatch.
 
@@ -350,7 +351,8 @@ def collate(
             sfa = _bp.build_sfa_compressed(
                 edge_src, edge_dst, edge_mask, N,
                 eb=sfa_eb if sfa_eb > 0 else None, node_graph=node_graph,
-                node_mask=node_mask, num_graphs=G)
+                node_mask=node_mask, num_graphs=G,
+                ell_explicit=ell_explicit)
 
     bsp_fwd = bsp_bwd = ea_bsp_fwd = ea_bsp_bwd = None
     if bsp_chunks_cap > 0 and node_stride == 0 and N % 128 == 0:

@@ -67,6 +67,7 @@ class GraphLoader:
         dense_layout: bool = False,
         dense_caps: Optional[tuple] = None,
         scatter_free: bool = False,
+        ell_explicit: bool = False,
     ):
         self.collate_workers = collate_workers
         # intra-batch parallelism INSIDE the native collate call (the call
@@ -91,6 +92,9 @@ class GraphLoader:
         # stack tree-wise.
         self.scatter_free = (scatter_free and not dense_layout
                              and hybrid_shards <= 1)
+        # ship host-built explicit ELL plans (PNA consumes the ELL reducers
+        # every layer; deriving on device costs ~6 ms/step in row gathers)
+        self.ell_explicit = ell_explicit
         self._sfa_caps = None
         self.graphs = [dict(g, _id=i) for i, g in enumerate(graphs)]
         # size table for the vectorized planning pass (numpy cumsum per
@@ -298,7 +302,8 @@ class GraphLoader:
                                       node_mask=batch.node_mask,
                                       num_graphs=batch.num_graph_slots,
                                       ell_k=caps["ell_k"],
-                                      pool_eb=caps["pool_eb"])
+                                      pool_eb=caps["pool_eb"],
+                                      ell_explicit=self.ell_explicit)
         if fields is None:
             return batch  # caller splits or falls back to the segment path
         return dataclasses.replace(batch, **fields)

@@ -344,7 +344,7 @@ def dataset_sfa_caps(graphs, n_cap: int):
 def build_sfa_compressed(edge_src, edge_dst, edge_mask, n_slots: int,
                          eb: int = None, node_graph=None, node_mask=None,
                          num_graphs: int = 0, ell_k: int = None,
-                         pool_eb: int = None):
+                         pool_eb: int = None, ell_explicit: bool = False):
     """Compressed scatter-free plan fields (round 4): ship CSR row starts
     plus ONE src-sorted edge permutation instead of the explicit slot-plan
     arrays, and derive every plan on DEVICE (ops/plan_expand.py).
@@ -425,6 +425,19 @@ def build_sfa_compressed(edge_src, edge_dst, edge_mask, n_slots: int,
     if k_in == 0 or k_out == 0:  # both or neither (consumers need the pair)
         k_in = k_out = 0
     fields["ell_k_in"], fields["ell_k_out"] = int(k_in), int(k_out)
+    if ell_explicit and k_in > 0:
+        # models that consume the ELL reducers every layer (PNA: need_deg)
+        # get host-built explicit ELL plans — deriving them on device costs
+        # two [N*K, W] row gathers per step (~6 ms at code2 scale), while
+        # the wire cost is ~5 MB that overlaps via prefetch
+        ed = build_ell_plan(edge_dst, edge_src, edge_mask, n_slots, k=k_in)
+        es = build_ell_plan(edge_src, edge_dst, edge_mask, n_slots, k=k_out)
+        if ed is not None and es is not None:
+            (pd_ell, _), (ps_ell, _) = ed, es
+            pd_ell.pop("perm")
+            ps_ell.pop("perm")
+            fields["ell_dst"] = pd_ell
+            fields["ell_src"] = ps_ell
 
     # pooling plan: valid nodes must be graph-major (prefix + nondecreasing)
     if node_graph is not None and num_graphs > 0:

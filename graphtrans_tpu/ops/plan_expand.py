@@ -312,7 +312,8 @@ def _expand_one(batch, want_ell: bool = True):
                   edge_attr_sfa=ea_d, edge_attr_sfa_src=ea_s,
                   sfa_gcn_norm_dst=nd, sfa_gcn_norm_src=ns,
                   sfa_inv_deg=_inv_deg(batch))
-    if want_ell and batch.ell_k_in > 0:
+    if (want_ell and batch.ell_k_in > 0
+            and getattr(batch, "ell_dst", None) is None):
         fields["ell_dst"], fields["ell_src"] = ell_plans(
             batch, _rows=_ell_rows(batch, pack, pack_src))
     if getattr(batch, "sfa_pool_eb", 0) > 0:

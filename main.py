@@ -200,6 +200,10 @@ def make_loaders(bundle, args, num_shards=1, process_count=1, process_index=0):
         # bench arm (120.0 vs 117.9 at sampled epoch-wide slot budgets —
         # a wash at code2 shapes; see tools/tunnel_epoch_ab.py)
         scatter_free=getattr(args, "scatter_free", "auto") != "off",
+        # PNA (need_deg) consumes the ELL reducers every layer: ship the
+        # explicit ELL plans from the host instead of paying two [N*K, W]
+        # row gathers per step to derive them
+        ell_explicit=bool(getattr(args, "_model_need_deg", False)),
     )
     if getattr(args, "use_dense_layout", False):
         from graphtrans_tpu.data.batch import bucket_size
@@ -255,6 +259,9 @@ def main():
     trainer = get_trainer_and_parser(args, parser)
     model_cls = get_model_and_parser(args, parser)
     args = parser.parse_args()
+    # loaders ship explicit ELL plans for models that consume the ELL
+    # reducers every layer (PNA — exactly the need_deg() discriminator)
+    args._model_need_deg = bool(model_cls.need_deg())
 
     # Three mutually-composable-or-exclusive parallel modes:
     #   shard_map DP (--dp_shards alone): stacked per-shard batches, sync-BN
