@@ -114,6 +114,7 @@ class GraphBatch:
     sfa_row_start_src: Any = None   # [N+1] i32 (indexes edge_perm_src order)
     edge_perm_src: Any = None       # [E] i32 stable src-sort of valid edges
     edge_gcn_norm_e: Any = None     # [E] f32 structural GCN norm, edge order
+    edge_pack_src: Any = None       # [E, 3+Fe] i32 src-sorted edge pack
 
     # --- static metadata (aux_data, not traced) ---
     max_nodes_dense: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -352,7 +353,7 @@ def collate(
                 edge_src, edge_dst, edge_mask, N,
                 eb=sfa_eb if sfa_eb > 0 else None, node_graph=node_graph,
                 node_mask=node_mask, num_graphs=G,
-                ell_explicit=ell_explicit)
+                ell_explicit=ell_explicit, edge_attr=edge_attr)
 
     bsp_fwd = bsp_bwd = ea_bsp_fwd = ea_bsp_bwd = None
     if bsp_chunks_cap > 0 and node_stride == 0 and N % 128 == 0:

@@ -303,7 +303,8 @@ class GraphLoader:
                                       num_graphs=batch.num_graph_slots,
                                       ell_k=caps["ell_k"],
                                       pool_eb=caps["pool_eb"],
-                                      ell_explicit=self.ell_explicit)
+                                      ell_explicit=self.ell_explicit,
+                                      edge_attr=batch.edge_attr)
         if fields is None:
             return batch  # caller splits or falls back to the segment path
         return dataclasses.replace(batch, **fields)

@@ -344,7 +344,8 @@ def dataset_sfa_caps(graphs, n_cap: int):
 def build_sfa_compressed(edge_src, edge_dst, edge_mask, n_slots: int,
                          eb: int = None, node_graph=None, node_mask=None,
                          num_graphs: int = 0, ell_k: int = None,
-                         pool_eb: int = None, ell_explicit: bool = False):
+                         pool_eb: int = None, ell_explicit: bool = False,
+                         edge_attr=None):
     """Compressed scatter-free plan fields (round 4): ship CSR row starts
     plus ONE src-sorted edge permutation instead of the explicit slot-plan
     arrays, and derive every plan on DEVICE (ops/plan_expand.py).
@@ -408,6 +409,25 @@ def build_sfa_compressed(edge_src, edge_dst, edge_mask, n_slots: int,
         "sfa_nb": nb,
         "sfa_eb": int(eb),
     }
+    if edge_attr is not None:
+        # src-sorted edge pack [E, 3+Fe] i32 (src, dst, norm bits, attrs) —
+        # the exact operand ops/plan_expand._edge_pack builds on device in
+        # dst order. Shipping the src order kills the expansion's last
+        # permutation row gather; both slot expansions become
+        # block-contiguous dynamic slices (~0.5 ms total).
+        ea = np.asarray(edge_attr)
+        if np.issubdtype(ea.dtype, np.floating):
+            acols = ea.astype(np.float32).view(np.int32)
+        else:
+            acols = ea.astype(np.int32)
+        pack = np.concatenate(
+            [np.asarray(edge_src, np.int32)[:, None],
+             np.asarray(edge_dst, np.int32)[:, None],
+             norm_e.view(np.int32)[:, None], acols], axis=1)
+        pack_src = np.zeros_like(pack)
+        pack_src[:e_valid] = pack[edge_perm_src[:e_valid]]
+        fields["edge_pack_src"] = pack_src
+        del fields["edge_perm_src"]  # subsumed (saves the wire bytes)
 
     # ELL neighbor-slot caps (ops/ell.py), per direction as the explicit
     # builder derives them: 0 = disabled (hub degree past ELL_K_CAP, or

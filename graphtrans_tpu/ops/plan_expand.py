@@ -149,6 +149,18 @@ def _block_rows(pack, row_start, nb: int, eb: int):
         0, nblk, body, jnp.zeros((nblk * eb, W), pack.dtype))
 
 
+def _pack_src(batch, pack):
+    """Src-sorted pack: host-shipped (edge_pack_src — free), else derived
+    with the one genuine permutation row gather."""
+    ps = getattr(batch, "edge_pack_src", None)
+    if ps is not None:
+        return jnp.asarray(ps)
+    if batch.edge_perm_src is None:
+        raise ValueError("compressed batch carries neither edge_pack_src "
+                         "nor edge_perm_src")
+    return _take(pack, batch.edge_perm_src)           # [E, W] row gather
+
+
 def _packed_rows(batch, pack=None, pack_src=None):
     """((rows_d, valid_d, blk_d), (rows_s, valid_s, blk_s)) — the pack rows
     per slot for both plan orders: two block-contiguous slice expansions
@@ -157,7 +169,7 @@ def _packed_rows(batch, pack=None, pack_src=None):
     if pack is None:
         pack = _edge_pack(batch)
     if pack_src is None:
-        pack_src = _take(pack, batch.edge_perm_src)   # [E, W] row gather
+        pack_src = _pack_src(batch, pack)
     _, val_d, blk_d = _block_slots(batch.sfa_row_start_dst, nb, eb)
     _, val_s, blk_s = _block_slots(batch.sfa_row_start_src, nb, eb)
     rows_d = _block_rows(pack, batch.sfa_row_start_dst, nb, eb)
@@ -226,7 +238,7 @@ def _ell_rows(batch, pack=None, pack_src=None):
     if pack is None:
         pack = _edge_pack(batch)
     if pack_src is None:
-        pack_src = _take(pack, batch.edge_perm_src)
+        pack_src = _pack_src(batch, pack)
     pe_d, val_d, _ = _block_slots(batch.sfa_row_start_dst, 1,
                                   batch.ell_k_in)
     ps, val_s, _ = _block_slots(batch.sfa_row_start_src, 1,
@@ -303,7 +315,7 @@ def _expand_one(batch, want_ell: bool = True):
     import dataclasses
 
     pack = _edge_pack(batch)
-    pack_src = _take(pack, batch.edge_perm_src)
+    pack_src = _pack_src(batch, pack)
     rd, rs = _packed_rows(batch, pack, pack_src)
     plan_d, plan_s = _plans_from_rows(batch, rd, rs)
     _, _, nd, ea_d = _unpack(rd[0], batch)

@@ -69,6 +69,14 @@ def test_compressed_plans_match_explicit():
         np.sort(np.asarray(nd)[np.asarray(pd_c["mask"]) > 0]),
         np.sort(np.asarray(be.sfa_gcn_norm_dst)[
             np.asarray(be.sfa_dst["mask"]) > 0]), rtol=1e-6)
+    # the full once-per-step expansion (the trainers' route) produces the
+    # same plans and slot attrs as the helpers
+    bx = plan_expand.expand_batch(bc)
+    np.testing.assert_array_equal(np.asarray(bx.sfa_dst["other_g"]),
+                                  np.asarray(pd_c["other_g"]))
+    np.testing.assert_array_equal(np.asarray(bx.ell_dst["other_g"]),
+                                  np.asarray(be.ell_dst["other_g"]))
+    assert bx.edge_attr_sfa is not None and bx.sfa_pool is not None
     # pooling plan: identical per-graph sums
     from graphtrans_tpu.ops.scatter_free import graph_sum_sfa
 
