@@ -262,6 +262,10 @@ class GCNConv(nn.Module):
                          edge_weight=norm, edge_weight_bsp=norm_bsp,
                          edge_weight_sfa=norm_sfa)
         root_emb = self.param("root_emb", normal(1.0), (self.emb_dim,))
-        self_term = nn.relu(x + root_emb) * inv_deg
+        # inv_deg is structural f32 — cast to the compute dtype HERE or the
+        # multiply promotes the conv output (and everything downstream until
+        # the next BN) back to f32 under --precision bf16: the profile
+        # showed f32[81920,300] VN-pool gathers on the code2 bf16 step
+        self_term = nn.relu(x + root_emb) * inv_deg.astype(x.dtype)
         out = agg + self_term
         return jnp.where(batch.node_mask[:, None], out, 0)
