@@ -113,9 +113,16 @@ class PNAConv(nn.Module):
             want_sq = ("std" in self.aggregators) or ("var" in self.aggregators)
             want_mm = ("max" in self.aggregators) or ("min" in self.aggregators)
             ell_d, ell_s = plan_expand.ell_plans(batch)
+            # the src-major sfa plan (always present on this route — ELL
+            # requires _sfa_route) sends the backward through slot order:
+            # L ≈ 1.4·E fused gathers + one one-hot matmul instead of a
+            # k_out-column walk over 70%-padding ELL slots (259.5 -> see
+            # bench code2_pna)
+            _, sfa_s = plan_expand.sfa_plans(batch)
             s1, s2, mxb, mnb = ell_multi(
-                xjproj, ell_d, ell_s,
-                batch.ell_k_in, batch.ell_k_out, want_sq, want_mm)
+                xjproj, ell_d, ell_s, sfa_s,
+                batch.ell_k_in, batch.ell_k_out, want_sq, want_mm,
+                batch.sfa_nb)
 
             deg_raw = ell_d["mask"].reshape(N, -1).sum(axis=1)
             deg_safe = jnp.maximum(deg_raw, 1.0)[:, None].astype(x.dtype)

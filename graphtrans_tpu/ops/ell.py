@@ -154,19 +154,35 @@ ell_minmax.defvjp(_fwd_rule, _bwd_rule)
 # operand into HBM; a bare fused gather of the same bytes is ~3.6 ms) — and
 # PNA needs sum(xj), sum(xj^2) AND min/max of the SAME xjproj rows. Here one
 # running loop shares each column's row gather across s1/s2/max/min/counts/
-# deg, and the backward pulls ONE packed node array per src column:
+# deg. The per-edge backward term is
 #   dv[v] = sum_c  g1[c] + 2*vals[v]*g2[c]
 #           + gmx_c[c]*(vals[v]==mx[c]) + gmn_c[c]*(vals[v]==mn[c])
 # Sums accumulate in f32 (bf16 running sums would lose ~2 digits over K).
+#
+# BACKWARD ROUTE (round 4, measured): when the batch also carries the
+# src-major sfa scatter plan (it always does on the production PNA route —
+# ELL plans require _sfa_route), the backward runs in SLOT order instead of
+# K src-major node columns: gather the 6 center arrays per edge slot
+# (L ≈ 1.4·E slots vs k_out·N column rows — at code2 shapes K=8 against
+# mean degree 2.8, so the column walk reads ~3.3x the bytes, 70% of them
+# masked padding), compute the per-edge term elementwise (every gather
+# fuses into it), and reduce onto src rows with the existing one-hot block
+# matmul (ops/scatter_free._block_matmul — f32 accumulation, no scatter).
+# This also kills the packed [N, 6C] concat+select the column walk needed
+# to keep its gathers fused (measured ~14 ms/layer of copy+select alone).
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def ell_multi(vals, plan_dst, plan_src, k_in: int, k_out: int,
-              want_sumsq: bool = True, want_minmax: bool = True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def ell_multi(vals, plan_dst, plan_src, sfa_src, k_in: int, k_out: int,
+              want_sumsq: bool = True, want_minmax: bool = True,
+              nb: int = 0):
     """vals [N, C] -> (s1, s2, mx, mn), each [N, C] (s2/mx/mn are None when
     not requested). s1 = per-node sum of incoming-neighbor rows, s2 the sum
-    of their squares; mx/mn as ell_minmax (empty rows -> 0)."""
+    of their squares; mx/mn as ell_minmax (empty rows -> 0). sfa_src (the
+    src-major scatter plan from plan_expand.sfa_plans, with its nb) routes
+    the backward through slot order — pass None to fall back to the
+    src-major ELL column walk."""
     out, _ = _multi_fwd(vals, plan_dst, plan_src, k_in, k_out,
                         want_sumsq, want_minmax)
     return out
@@ -217,15 +233,58 @@ def _multi_fwd(vals, plan_dst, plan_src, k_in, k_out, want_sumsq,
     return (s1, s2, mx, mn), (vals, mx, mn, cmx, cmn)
 
 
-def _multi_fwd_rule(vals, plan_dst, plan_src, k_in, k_out, want_sumsq,
-                    want_minmax):
+def _multi_fwd_rule(vals, plan_dst, plan_src, sfa_src, k_in, k_out,
+                    want_sumsq, want_minmax, nb):
     out, res = _multi_fwd(vals, plan_dst, plan_src, k_in, k_out,
                           want_sumsq, want_minmax)
-    return out, res + (plan_dst, plan_src)
+    return out, res + (plan_dst, plan_src, sfa_src)
 
 
-def _multi_bwd_rule(k_in, k_out, want_sumsq, want_minmax, res, gs):
-    vals, mx, mn, cnt_mx, cnt_mn, plan_dst, plan_src = res
+def _multi_bwd_sfa(nb, want_sumsq, want_minmax, res, gs):
+    """Slot-order backward: one fused elementwise pass over the src-major
+    sfa slots (each center array gathered by the slot's dst row, the slot's
+    own value row node-indexed from the plan geometry), then ONE batched
+    one-hot matmul onto the src blocks. See the ell_multi block comment."""
+    from .scatter_free import _block_matmul, _one_hot_blocks
+
+    vals, mx, mn, cnt_mx, cnt_mn, plan_dst, plan_src, sfa_src = res
+    g1, g2, g_mx, g_mn = gs
+    N, C = vals.shape
+    dt = vals.dtype
+
+    def z(t):
+        return jnp.zeros((N, C), dt) if t is None else t.astype(dt)
+
+    L = sfa_src["mask"].shape[0]
+    nblk = N // nb
+    eb = L // nblk
+    ctr = sfa_src["other_g"]                        # [L] center (dst) row
+    own = (jnp.arange(L, dtype=jnp.int32) // eb * nb
+           + sfa_src["loc"])                        # [L] the slot's src row
+
+    def take(t):
+        return jnp.take(t, ctr, axis=0)             # [L, C], fuses
+
+    v = jnp.take(vals, own, axis=0)                 # [L, C], fuses
+    contrib = take(z(g1))
+    if want_sumsq:
+        contrib = contrib + 2.0 * v * take(z(g2))
+    if want_minmax:
+        contrib = contrib + (take((z(g_mx) / cnt_mx).astype(dt))
+                             * (v == take(mx)).astype(dt)
+                             + take((z(g_mn) / cnt_mn).astype(dt))
+                             * (v == take(mn)).astype(dt))
+    contrib = contrib * sfa_src["mask"][:, None].astype(dt)
+
+    oh = _one_hot_blocks(sfa_src["loc"], nblk, eb, nb, dt)
+    dv = _block_matmul(oh, contrib, nblk, eb, nb, C, dt)
+    return (dv.astype(dt), None, None, None)
+
+
+def _multi_bwd_rule(k_in, k_out, want_sumsq, want_minmax, nb, res, gs):
+    if res[-1] is not None:  # sfa_src present -> slot-order backward
+        return _multi_bwd_sfa(nb, want_sumsq, want_minmax, res, gs)
+    vals, mx, mn, cnt_mx, cnt_mn, plan_dst, plan_src, _ = res
     g1, g2, g_mx, g_mn = gs
     N, C = vals.shape
     dt = vals.dtype
@@ -261,7 +320,7 @@ def _multi_bwd_rule(k_in, k_out, want_sumsq, want_minmax, res, gs):
         return dv + contrib * m[:, None].astype(jnp.float32)
 
     dv = _k_loop(k_out, jnp.zeros((N, C), jnp.float32), body)
-    return (dv.astype(dt), None, None)
+    return (dv.astype(dt), None, None, None)
 
 
 ell_multi.defvjp(_multi_fwd_rule, _multi_bwd_rule)

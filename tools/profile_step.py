@@ -1,10 +1,11 @@
-"""Capture a jax.profiler trace of the flagship bench train step on TPU.
+"""Capture a jax.profiler trace of a bench train step on TPU.
 
-Builds the same state/step/batch as bench.py (bf16+rbg dense by default),
+Builds the same state/step/batch as bench.py (bf16+rbg by default),
 warms the compile, then traces a few chained steps. Feed the resulting
 directory to tools/profile_summary.py.
 
-Usage: python tools/profile_step.py [outdir] [steps]
+Usage: python tools/profile_step.py [outdir] [steps] [workload]
+       workload: mol (default) | code2 | code2_pna
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ import jax
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gt_profile"
     nsteps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    workload = sys.argv[3] if len(sys.argv) > 3 else "mol"
 
     from graphtrans_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -29,7 +31,13 @@ def main():
 
     import bench
 
-    state, step, batch = bench.build(batch_size=4096, precision="bf16")
+    if workload in ("code2", "code2_pna"):
+        state, step, batch = bench.build_code2(
+            batch_size=512, precision="bf16",
+            model="pna-transformer" if workload == "code2_pna"
+            else "gnn-transformer")
+    else:
+        state, step, batch = bench.build(batch_size=4096, precision="bf16")
     batch = jax.device_put(batch)
     rng = jax.random.key(7)
 
