@@ -97,12 +97,16 @@ def build(batch_size=256, nodes_per=26, emb=256, seed=0, precision="f32",
 
 
 def build_code2(batch_size=512, emb=300, seed=0, precision="bf16",
-                model="gnn-transformer", want_model=False):
-    """The OTHER headline workload: ogbg-code2-shaped ASTs (~50-250 nodes,
-    augmented AST/inverse/next-token edges with 2-dim attrs) through the
+                model="gnn-transformer", want_model=False,
+                size_dist="code2", seq_pack=True):
+    """The OTHER headline workload: ogbg-code2-shaped ASTs through the
     code2 flagship config (GCN-virtual JK=cat emb 300 -> norm_input CLS
     transformer -> 5-position seq head, per
     configs/code2/gnn-transformer/JK=cat/pooling=cls+norm_input.yml).
+    Graph sizes follow the real dataset's heavy-tailed lognormal (mean ~125
+    nodes, p99 ~630, max past max_input_len=1000 — so the last-1000-nodes
+    truncation and the flash-attention route run INSIDE the timed step;
+    size_dist='uniform' keeps the round-4 friendlier 50-250 shape for A/B).
     Graphs this size are outside the dense-layout win regime (the one-hot
     contraction's FLOP inflation is the per-graph node count), so this
     measures the FLAT segment path — the production route for code2/PNA.
@@ -123,7 +127,7 @@ def build_code2(batch_size=512, emb=300, seed=0, precision="bf16",
 
     raw = make_code_dataset(num_graphs=batch_size, vocab_size=5000,
                             seq_len_max=6, min_nodes=50, max_nodes=250,
-                            seed=seed)
+                            seed=seed, size_dist=size_dist)
     vocab2idx, _ = get_vocab_mapping([g["y_seq"] for g in raw], 5000)
     graphs = []
     for g in raw:
@@ -131,10 +135,20 @@ def build_code2(batch_size=512, emb=300, seed=0, precision="bf16",
         g["y_arr"] = encode_seq_to_arr(g["y_seq"], vocab2idx, 5)
         graphs.append(g)
     caps = dataset_caps(graphs, batch_size)
+    # variable-length sequence packing (ops/pack.py): the production route
+    # for heavy-tailed datasets — packs each graph's kept nodes + CLS into
+    # [R, W] rows with segment-masked attention instead of padding every
+    # graph to the dataset max (which OOMs at bs=512 and pads ~8x)
+    pack_w = 0
+    if seq_pack:
+        from graphtrans_tpu.data.batch import bucket_size
+        max_keep = min(max(g["x"].shape[0] for g in graphs), 1000)
+        pack_w = bucket_size(max_keep + 1, 128)
     batch = collate(graphs, batch_size + 1, caps[0], caps[1],
                     num_tasks=len(vocab2idx), max_seq_len=5,
                     y_dtype="int32", scatter_free=True,
-                    ell_explicit=(model == "pna-transformer"))
+                    ell_explicit=(model == "pna-transformer"),
+                    seq_pack_w=pack_w)
     deg = None
     if model == "pna-transformer":
         # reference PNA code2 config (configs/code2/pna-transformer/
@@ -269,16 +283,20 @@ def time_steps(step, state, batch, rng, warmup=3, iters=20):
     return max(t[k_long] - t[k_short], 1e-9) / (k_long - k_short)
 
 
-def measure_code2(workload, batch_size, precision, prng, mode, iters):
+def measure_code2(workload, batch_size, precision, prng, mode, iters,
+                  size_dist="code2", seq_pack=True):
     """Measure the code2-shaped workload (GCN-virtual or PNA flagship on the
     flat scatter-free path) and return its JSON record."""
     bs = batch_size if batch_size != 4096 else 512
     state, step, batch, model = build_code2(
         batch_size=bs, precision=precision,
         model="pna-transformer" if workload == "code2_pna"
-        else "gnn-transformer", want_model=True)
+        else "gnn-transformer", want_model=True, size_dist=size_dist,
+        seq_pack=seq_pack)
     rng = jax.random.key(0)
     edges = int(np.asarray(batch.edge_mask).sum())
+    nn = np.asarray(batch.num_nodes)[np.asarray(batch.graph_mask)]
+    S = int(batch.max_nodes_dense)
     batch = jax.device_put(batch)
     if mode == "eval":
         emb = 272 if workload == "code2_pna" else 300
@@ -295,10 +313,23 @@ def measure_code2(workload, batch_size, precision, prng, mode, iters):
             "precision": precision, "prng": prng,
             "batch_size": bs, "edges": edges, "mode": mode,
             "step_ms": round(dt * 1e3, 2),
-            "note": "code2-shaped ASTs on the flat segment path (the "
-                    "production route for graphs beyond the dense-"
-                    "layout regime); no reference-GPU estimate exists "
-                    "for this workload",
+            "size_dist": size_dist, "dense_width": S,
+            "nodes_mean": round(float(nn.mean()), 1),
+            "nodes_max": int(nn.max()),
+            "graphs_truncated": int((nn > (
+                batch.pack_w - 1 if batch.pack_node is not None else S)).sum()),
+            "seq_pack": (None if batch.pack_node is None else {
+                "rows": batch.pack_rows, "w": batch.pack_w,
+                "fill": round(float(
+                    (np.asarray(batch.pack_seg) >= 0).mean()), 3),
+                "tokens": int((np.asarray(batch.pack_seg) >= 0).sum()),
+                "dense_tokens_equiv": int(np.asarray(
+                    batch.graph_mask).shape[0]) * (S + 1),
+            }),
+            "note": "code2-shaped ASTs (heavy-tailed sizes matching the "
+                    "real dataset unless size_dist=uniform) on the flat "
+                    "segment path; no reference-GPU estimate exists for "
+                    "this workload",
             "device": str(jax.devices()[0].device_kind),
         },
     }
@@ -332,6 +363,11 @@ def main():
                         "(the headline); code2 = AST-shaped GCN-virtual "
                         "seq-head flagship on the flat scatter-free path; "
                         "code2_pna = the PNA-transformer variant (emb 272)")
+    p.add_argument("--code2_sizes", type=str, default="code2",
+                   choices=["code2", "uniform"],
+                   help="code2 = heavy-tailed lognormal AST sizes matching "
+                        "the real dataset (truncation + flash attention run "
+                        "in-step); uniform = the round-4 50-250 shape (A/B)")
     p.add_argument("--mode", type=str, default="train",
                    choices=["train", "eval"],
                    help="eval = time the inference forward (serving-side "
@@ -347,7 +383,8 @@ def main():
 
     if args.workload in ("code2", "code2_pna"):
         rec = measure_code2(args.workload, args.batch_size, args.precision,
-                            args.prng, args.mode, args.iters)
+                            args.prng, args.mode, args.iters,
+                            size_dist=args.code2_sizes)
         print(json.dumps(rec))
         return
 
@@ -412,7 +449,7 @@ def main():
             try:
                 workloads[wl] = measure_code2(
                     wl, args.batch_size, args.precision, args.prng, "train",
-                    max(args.iters // 2, 4))
+                    max(args.iters // 2, 4), size_dist=args.code2_sizes)
             except Exception as e:  # never lose the headline to a side arm
                 workloads[wl] = {"error": repr(e)}
 

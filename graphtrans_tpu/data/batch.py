@@ -115,10 +115,21 @@ class GraphBatch:
     edge_perm_src: Any = None       # [E] i32 stable src-sort of valid edges
     edge_gcn_norm_e: Any = None     # [E] f32 structural GCN norm, edge order
     edge_pack_src: Any = None       # [E, 3+Fe] i32 src-sorted edge pack
+    # --- variable-length sequence packing for the transformer stage
+    # (ops/pack.py): graphs' kept nodes + their own CLS token packed
+    # contiguously into [pack_rows, pack_w] slots with segment-id attention
+    # masking — replaces the [G, S_max] dense padding for heavy-tailed
+    # datasets (real ogbg-code2 pads ~8x there).
+    pack_node: Any = None           # [R*W] i32 slot -> flat node row (N=zero)
+    pack_seg: Any = None            # [R*W] i32 graph id per slot (-1 = pad)
+    pack_cls_slot: Any = None       # [G] i32 CLS readout slot per graph
+    pack_inv: Any = None            # [N] i32 node -> slot (R*W = absent)
 
     # --- static metadata (aux_data, not traced) ---
     max_nodes_dense: int = dataclasses.field(default=0, metadata=dict(static=True))
     node_stride: int = dataclasses.field(default=0, metadata=dict(static=True))
+    pack_w: int = dataclasses.field(default=0, metadata=dict(static=True))
+    pack_rows: int = dataclasses.field(default=0, metadata=dict(static=True))
     sfa_nb: int = dataclasses.field(default=0, metadata=dict(static=True))
     sfa_eb: int = dataclasses.field(default=0, metadata=dict(static=True))
     sfa_pool_eb: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -181,6 +192,8 @@ def collate(
     sfa_eb: int = 0,
     sfa_explicit: bool = False,
     ell_explicit: bool = False,
+    seq_pack_w: int = 0,
+    seq_pack_rows: int = 0,
 ) -> GraphBatch:
     """Assemble a list of host-side graph dicts into one padded GraphBatch.
 
@@ -269,6 +282,7 @@ def collate(
     else:
         edge_src_dense = edge_dst_dense = edge_mask_dense = edge_attr_dense = None
 
+    node_offsets = np.zeros((G,), dtype=np.int64)
     node_off = 0
     edge_off = 0
     for i, g in enumerate(graphs):
@@ -281,6 +295,7 @@ def collate(
                 raise ValueError(f"graph of {e} edges exceeds dense edge cap "
                                  f"{dense_edge_cap}")
             node_off = i * node_stride
+        node_offsets[i] = node_off
         x = g["x"].reshape(n, -1)
         node_feat[node_off : node_off + n] = x
         node_graph[node_off : node_off + n] = i
@@ -368,6 +383,17 @@ def collate(
             ea_bsp_bwd = _bp.permute_edge_data(edge_attr, plan_b.pop("perm"))
             bsp_fwd, bsp_bwd = plan_f, plan_b
 
+    # variable-length sequence packing for the transformer stage
+    # (ops/pack.py): flat layout only; overflow of a pinned row cap yields
+    # pack=None and the caller splits or falls back to the dense path
+    pack = None
+    if seq_pack_w > 0 and node_stride == 0:
+        from ..ops.pack import build_pack_fields
+
+        pack = build_pack_fields(num_nodes, graph_mask, node_offsets, N,
+                                 seq_pack_w, max_input_len,
+                                 rows_cap=seq_pack_rows)
+
     dense_adj = None
     if with_dense_adj:
         dense_adj = np.zeros((G, S + 1, S + 1), dtype=bool)
@@ -413,6 +439,7 @@ def collate(
         edge_attr_bsp_fwd=ea_bsp_fwd,
         edge_attr_bsp_bwd=ea_bsp_bwd,
         **(sfa or {}),
+        **(pack or {}),
         max_nodes_dense=S,
         node_stride=node_stride,
     )

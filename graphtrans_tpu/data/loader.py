@@ -68,6 +68,8 @@ class GraphLoader:
         dense_caps: Optional[tuple] = None,
         scatter_free: bool = False,
         ell_explicit: bool = False,
+        seq_pack: bool = False,
+        pack_rows_cap: int = 0,
     ):
         self.collate_workers = collate_workers
         # intra-batch parallelism INSIDE the native collate call (the call
@@ -96,6 +98,13 @@ class GraphLoader:
         # every layer; deriving on device costs ~6 ms/step in row gathers)
         self.ell_explicit = ell_explicit
         self._sfa_caps = None
+        # variable-length sequence packing for the transformer stage
+        # (ops/pack.py): flat layout only. Row budget is sampled from the
+        # real packer lazily (pack_rows_cap pins it explicitly — required
+        # for sharded stacking to keep one tree shape).
+        self.seq_pack = (seq_pack and not dense_layout and hybrid_shards <= 1
+                         and not with_dense_adj)
+        self._pack_rows_cap = pack_rows_cap if pack_rows_cap > 0 else None
         self.graphs = [dict(g, _id=i) for i, g in enumerate(graphs)]
         # size table for the vectorized planning pass (numpy cumsum per
         # batch instead of a Python loop over every graph every epoch)
@@ -130,6 +139,8 @@ class GraphLoader:
         # per epoch, and shard batches stay stackable
         max_n = max((int(g["x"].shape[0]) for g in self.graphs), default=1)
         self.dense_cap = min(bucket_size(max_n, 16), max_input_len)
+        # pack width: the largest kept graph + its CLS token, lane-bucketed
+        self.pack_w = bucket_size(min(max_n, max_input_len) + 1, 128)
 
         # strided (dense) node layout: graph i owns rows [i*stride, ...) so
         # aggregation runs scatter-free as one-hot matmuls (ops/dense_mp.py).
@@ -309,12 +320,60 @@ class GraphLoader:
             return batch  # caller splits or falls back to the segment path
         return dataclasses.replace(batch, **fields)
 
+    def _sample_pack_rows(self, samples: int = 4, plans_per: int = 16):
+        """Empirical pack-row budget: run the real packer over a few shuffled
+        epochs' batch plans and take the max rows (+10%, bucketed). Same
+        philosophy as the sfa slot budgets — cover the TYPICAL batch
+        tightly; the rare overflow splits (single consumers) or strips the
+        pack fields for that shard group (stacked consumers)."""
+        from ..ops.pack import plan_seq_pack
+
+        max_keep = min(self.pack_w - 1, self.max_input_len)
+        need = 1
+        for s in range(samples):
+            order = np.arange(len(self.graphs))
+            np.random.default_rng(self.seed + 104729 * (s + 1)).shuffle(order)
+            for plan in self._plan_chunks(order)[:plans_per]:
+                tokens = np.minimum(self._sizes_n[plan], max_keep) + 1
+                need = max(need, plan_seq_pack(tokens, self.pack_w)[0])
+        slack = 1.1 if self._sfa_split_ok else 1.25
+        return -(-int(need * slack + 1) // 4) * 4
+
+    def _attach_pack(self, batch):
+        if not self.seq_pack or batch is None or batch.node_stride > 0:
+            return batch
+        import dataclasses
+
+        from ..ops.pack import build_pack_fields
+
+        if self._pack_rows_cap is None:
+            self._pack_rows_cap = self._sample_pack_rows()
+        nn_ = np.asarray(batch.num_nodes, np.int64)
+        offs = np.zeros(len(nn_), np.int64)
+        np.cumsum(nn_[:-1], out=offs[1:])
+        fields = build_pack_fields(
+            nn_, np.asarray(batch.graph_mask), offs, batch.num_node_slots,
+            self.pack_w, self.max_input_len, rows_cap=self._pack_rows_cap)
+        if fields is None:
+            return batch  # caller splits (single consumer) or strips (group)
+        return dataclasses.replace(batch, **fields)
+
+    @staticmethod
+    def _strip_pack(batch):
+        import dataclasses
+
+        if batch is None or batch.pack_node is None:
+            return batch
+        return dataclasses.replace(
+            batch, pack_node=None, pack_seg=None, pack_cls_slot=None,
+            pack_inv=None, pack_w=0, pack_rows=0)
+
     def _collate_one(self, plan):
         if self.packed is not None:
             batch = self._native_collate(plan)
             if batch is not None:
-                return self._attach_sfa(batch)
-        return self._attach_sfa(collate(
+                return self._attach_pack(self._attach_sfa(batch))
+        return self._attach_pack(self._attach_sfa(collate(
             [self.graphs[i] for i in plan],
             num_graphs_cap=self.batch_size + 1,
             num_nodes_cap=self.node_cap,
@@ -327,7 +386,7 @@ class GraphLoader:
             dense_cap=self.dense_cap,
             node_stride=self.node_stride,
             dense_edge_cap=self.dense_edge_cap,
-        ))
+        )))
 
     def _collate_kept(self, plan, depth: int = 0):
         """Collate one plan into a LIST of batches: if a batch's edge
@@ -336,8 +395,10 @@ class GraphLoader:
         so every emitted batch keeps the one compiled shape. Only active
         for single-consumer loaders (_sfa_split_ok)."""
         batch = self._collate_one(plan)
-        if (self.scatter_free and self._sfa_split_ok and batch is not None
-                and batch.sfa_row_start_dst is None):
+        overflow = batch is not None and (
+            (self.scatter_free and batch.sfa_row_start_dst is None)
+            or (self.seq_pack and batch.pack_node is None))
+        if self._sfa_split_ok and overflow:
             if len(plan) > 1 and depth < 4:
                 mid = len(plan) // 2
                 return (self._collate_kept(plan[:mid], depth + 1)
@@ -347,8 +408,8 @@ class GraphLoader:
                 from ..utils.logging import logger
 
                 logger.warning(
-                    "scatter-free slot budgets overflowed even after "
-                    "splitting — that batch uses the segment path (a "
+                    "scatter-free slot / pack-row budgets overflowed even "
+                    "after splitting — that batch uses the fallback path (a "
                     "one-off recompile)")
                 self._sfa_fallback_warned = True
         return [batch]
@@ -477,10 +538,17 @@ class GraphLoader:
                             "multi-host shard group with no real local batch "
                             "before any template — dataset too small for "
                             "this process grid")
+                    # a pack-row overflow in ANY member strips the pack
+                    # fields from the whole group (stacking needs one tree);
+                    # the persistent template keeps its fields for later
+                    # fully-packed groups
+                    group = [b if b is not None else template
+                             for b in shard_buf]
+                    if self.seq_pack and any(b.pack_node is None
+                                             for b in group):
+                        group = [self._strip_pack(b) for b in group]
                     yield jax.tree_util.tree_map(
-                        lambda *xs: np.stack(xs, axis=0),
-                        *[b if b is not None else template for b in shard_buf]
-                    )
+                        lambda *xs: np.stack(xs, axis=0), *group)
                     shard_buf = []
         # tail: pad missing shards with an all-masked-out empty batch
         # (zeroed arrays have all-False masks, so they contribute nothing)
@@ -490,4 +558,6 @@ class GraphLoader:
             shard_buf = [b if b is not None else template for b in shard_buf]
             while len(shard_buf) < stack_n:
                 shard_buf.append(template)
+            if self.seq_pack and any(b.pack_node is None for b in shard_buf):
+                shard_buf = [self._strip_pack(b) for b in shard_buf]
             yield jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *shard_buf)

@@ -80,17 +80,38 @@ def make_mol_dataset(num_graphs=200, num_tasks=8, min_nodes=8, max_nodes=35, see
     return graphs
 
 
+def code2_size_sampler(rng, mean=125.0, sigma=1.0, lo=9, hi=2000):
+    """Heavy-tailed AST size draw matching real ogbg-code2's shape: lognormal
+    with mean ~125 nodes, p99 ~ 650, and a tail past max_input_len=1000 (the
+    reference truncates the transformer view there —
+    /root/reference/modules/utils.py:16-24). Clipped at `hi` so a single
+    synthetic graph stays bounded (real code2's max is ~36k but those are
+    <0.01% of the data)."""
+    mu = np.log(mean) - 0.5 * sigma * sigma
+    n = int(np.exp(rng.normal(mu, sigma)))
+    return int(np.clip(n, lo, hi))
+
+
 def make_code_dataset(num_graphs=200, vocab_size=40, seq_len_max=8,
                       num_nodetypes=20, num_nodeattributes=100,
-                      min_nodes=10, max_nodes=60, seed=0):
+                      min_nodes=10, max_nodes=60, seed=0,
+                      size_dist="uniform"):
     """code2-like ASTs: random trees in DFS order with (type, attr) features,
     node depth, node_is_attributed flags, and a target token sequence
-    correlated with the root's subtree types."""
+    correlated with the root's subtree types.
+
+    size_dist='code2' replaces the uniform [min_nodes, max_nodes] draw with
+    the heavy-tailed lognormal of the real dataset (code2_size_sampler) so
+    benchmarks exercise truncation, the flash-attention route, and the
+    loader's cap-overflow handling at honest shapes."""
     rng = np.random.default_rng(seed)
     words = [f"tok{i}" for i in range(vocab_size)]
     graphs = []
     for _ in range(num_graphs):
-        n = int(rng.integers(min_nodes, max_nodes + 1))
+        if size_dist == "code2":
+            n = code2_size_sampler(rng)
+        else:
+            n = int(rng.integers(min_nodes, max_nodes + 1))
         # random tree in DFS order: parent of v in [max(0, v-5), v-1]
         parents = [0] * n
         depth = np.zeros(n, np.int64)

@@ -24,6 +24,45 @@ from .base import ModelSpec
 from .heads import PredictionHead
 
 
+def packed_transformer_stage(encoder, h_node, batch, training: bool):
+    """Variable-length packed transformer stage (ops/pack.py): gather the
+    bridged node features into [R, W, d] packed rows (zero row for CLS/pad
+    slots; backward is a GATHER via pack_inv, never a serialized scatter),
+    run the encoder with segment-id attention masking, and read each
+    graph's own CLS slot back out. Token count ~ sum(n_i) + G instead of
+    the dense path's G * S_max — the TPU answer to heavy-tailed datasets
+    (real ogbg-code2: mean ~125 nodes, max past max_input_len=1000, where
+    [G, S_max, d] dense padding OOMs at bs=512 and burns ~8x the matmul
+    work). Numerics match the dense path exactly: same kept-node sets
+    (last-S truncation), same per-graph attention sets (own tokens + own
+    CLS), same post-norm layer semantics."""
+    from ..ops.pack import pack_gather
+
+    R, W = batch.pack_rows, batch.pack_w
+    d = h_node.shape[-1]
+    src = jnp.concatenate(
+        [h_node, jnp.zeros((1, d), h_node.dtype)], axis=0)
+    dense = pack_gather(src, batch.pack_node, batch.pack_inv)
+    dense = dense.reshape(R, W, d)
+    seg = batch.pack_seg.reshape(R, W)
+    valid = seg >= 0
+    cls_mask = valid & (batch.pack_node.reshape(R, W) == h_node.shape[0])
+    out, _ = encoder(dense, valid, training, seg=seg, cls_mask=cls_mask)
+    return out.reshape(R * W, d)[batch.pack_cls_slot]
+
+
+def use_seq_pack(batch, graph_pooling: str, num_encoder_layers: int,
+                 num_encoder_layers_masked: int = 0,
+                 pos_encoder: bool = False, sp_axis=None) -> bool:
+    """The packed route covers the production composition (CLS pooling,
+    global encoder); the masked/positional/sequence-parallel ablations and
+    non-CLS readouts keep the dense path."""
+    return (batch.pack_node is not None and graph_pooling == "cls"
+            and num_encoder_layers > 0 and num_encoder_layers_masked == 0
+            and not pos_encoder and sp_axis is None
+            and batch.node_stride == 0)
+
+
 def dense_pool(out, valid, num_nodes, pooling: str, use_cls: bool, max_len: int):
     """Graph readout from transformer output [B, S(+cls), d]."""
     if pooling in ("last", "cls"):
@@ -108,6 +147,13 @@ class GNNTransformerModule(nn.Module):
     def __call__(self, batch, perturb=None, training: bool = False):
         h_node = self.gnn_node(batch, perturb, training)
         h_node = self.gnn2transformer(h_node)
+
+        if use_seq_pack(batch, self.graph_pooling, self.num_encoder_layers,
+                        self.num_encoder_layers_masked, self.pos_encoder,
+                        self.sp_axis):
+            h_graph = packed_transformer_stage(
+                self.transformer_encoder, h_node, batch, training)
+            return self.head(h_graph)
 
         S = min(batch.max_nodes_dense, self.max_input_len)
         dense, valid = nodes_to_dense(

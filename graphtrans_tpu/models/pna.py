@@ -131,6 +131,12 @@ class PNATransformerModule(nn.Module):
     def __call__(self, batch, perturb=None, training: bool = False):
         h_node = self.pna(batch, perturb, training)
         h_node = self.gnn2transformer(h_node)
+        from .gnn_transformer import packed_transformer_stage, use_seq_pack
+
+        if use_seq_pack(batch, self.graph_pooling, self.num_encoder_layers):
+            h_graph = packed_transformer_stage(
+                self.transformer_encoder, h_node, batch, training)
+            return self.head(h_graph)
         S = min(batch.max_nodes_dense, self.max_input_len)
         dense, valid = nodes_to_dense(
             h_node, batch.node_graph, batch.node_pos, batch.node_mask,

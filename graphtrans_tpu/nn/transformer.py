@@ -97,6 +97,8 @@ _ATTN_BACKEND = "auto"
 _CHUNK_THRESHOLD = 512
 # test hook: route 'packed_fused' through interpret-mode kernels off-TPU
 _PFUSED_INTERPRET = False
+# test hook: route the seg-masked flash kernel through interpret mode
+_FLASH_INTERPRET = False
 
 
 def set_attn_backend(name: str):
@@ -163,11 +165,16 @@ class MultiheadSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, key_valid, training: bool, attn_bias=None,
-                 block: int = 0):
+                 block: int = 0, seg=None):
         """block > 0: x holds graph-packed rows (see set_attn_backend
         'packed') — attention is restricted to `block`-sized diagonal
         groups. Runs in the fused Pallas kernel on TPU, dense XLA with a
-        block-diagonal mask elsewhere."""
+        block-diagonal mask elsewhere.
+
+        seg is not None: x holds VARIABLE-length packed rows (ops/pack.py)
+        — token i attends token j iff seg[i] == seg[j] >= 0 (-1 = padding).
+        Flash kernel with in-kernel segment masking on TPU; dense XLA with
+        the materialized segment mask elsewhere/small-S."""
         B, S, d = x.shape
         assert d == self.d_model and d % self.nhead == 0
         hd = d // self.nhead
@@ -178,6 +185,43 @@ class MultiheadSelfAttention(nn.Module):
 
         def heads(t):  # [B,S,d] -> [B,H,S,hd]
             return t.reshape(B, S, self.nhead, hd).transpose(0, 2, 1, 3)
+
+        if seg is not None:
+            on_tpu = jax.default_backend() == "tpu"
+            if ((on_tpu or _FLASH_INTERPRET) and S >= 256
+                    and _ATTN_BACKEND in ("auto", "flash")):
+                from ..ops.pallas.flash_attention import flash_attention_seg
+
+                rate = self.dropout if training else 0.0
+                seed = (
+                    jax.random.randint(self.make_rng("dropout"), (), 0,
+                                       2**31 - 1)
+                    if rate > 0.0 else jnp.zeros((), jnp.int32)
+                )
+                q, k, v = heads(q), heads(k), heads(v)
+                segh = jnp.broadcast_to(
+                    seg[:, None, :], (B, self.nhead, S)).reshape(-1, S)
+                o = flash_attention_seg(
+                    q.reshape(-1, S, hd), k.reshape(-1, S, hd),
+                    v.reshape(-1, S, hd), segh, seed, rate, training,
+                    _FLASH_INTERPRET)
+                y = o.reshape(B, self.nhead, S, hd)
+                y = y.transpose(0, 2, 1, 3).reshape(B, S, d).astype(x.dtype)
+            else:
+                q, k, v = heads(q), heads(k), heads(v)
+                mask = ((seg[:, :, None] == seg[:, None, :])
+                        & (seg >= 0)[:, None, :])[:, None]
+                scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                    preferred_element_type=jnp.float32)
+                scores = scores / jnp.sqrt(jnp.asarray(hd, scores.dtype))
+                att = masked_softmax(scores, mask).astype(x.dtype)
+                att = ByteDropout(self.dropout)(att,
+                                                deterministic=not training)
+                y = jnp.einsum("bhqk,bhkd->bhqd", att, v.astype(att.dtype))
+                y = y.transpose(0, 2, 1, 3).reshape(B, S, d).astype(x.dtype)
+            out_w = self.param("out_proj", kaiming_uniform(), (d, d))
+            out_b = self.param("out_proj_bias", nn.initializers.zeros, (d,))
+            return y @ out_w + out_b
 
         backend = _ATTN_BACKEND
         if block > 0:
@@ -354,10 +398,11 @@ class TransformerEncoderLayer(nn.Module):
     activation: str = "relu"
 
     @nn.compact
-    def __call__(self, x, key_valid, training: bool, block: int = 0):
+    def __call__(self, x, key_valid, training: bool, block: int = 0,
+                 seg=None):
         d = self.d_model
         S = x.shape[1]
-        fused = (block > 0 and d % 128 == 0 and S <= 128
+        fused = (block > 0 and seg is None and d % 128 == 0 and S <= 128
                  and (jax.default_backend() == "tpu" or _PFUSED_INTERPRET)
                  and _ATTN_BACKEND == "packed_layer")
         if fused:
@@ -381,7 +426,7 @@ class TransformerEncoderLayer(nn.Module):
         act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
         drop = lambda t: ByteDropout(self.dropout)(t, deterministic=not training)
         a = MultiheadSelfAttention(self.d_model, self.nhead, self.dropout)(
-            x, key_valid, training, block=block
+            x, key_valid, training, block=block, seg=seg
         )
         x = nn.LayerNorm(epsilon=1e-5)(x + drop(a))
         f = TDense(self.dim_feedforward)(x)
@@ -418,9 +463,33 @@ class TransformerNodeEncoder(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, dense, valid, training: bool):
-        """dense: [B,S,d], valid: [B,S] -> ([B,S(+1),d], [B,S(+1)])."""
+    def __call__(self, dense, valid, training: bool, seg=None,
+                 cls_mask=None):
+        """dense: [B,S,d], valid: [B,S] -> ([B,S(+1),d], [B,S(+1)]).
+
+        seg is not None: variable-length packed rows (ops/pack.py) — dense
+        holds many graphs per row, seg [B,S] carries the per-token graph id
+        (-1 = padding) and attention masks by segment. Each graph owns its
+        OWN CLS slot inside its segment (cls_mask [B,S] marks them; the
+        slots arrive zero-gathered and the shared cls_embedding is added
+        here), so no CLS column is appended and no fixed-stride gb-packing
+        applies. Readout slots are gathered by the caller (pack_cls_slot)."""
         B = dense.shape[0]
+        if seg is not None:
+            if self.use_cls:
+                cls = self.param("cls_embedding", normal(1.0),
+                                 (self.d_model,))
+                dense = dense + (cls.astype(dense.dtype)
+                                 * cls_mask.astype(dense.dtype)[:, :, None])
+            if self.norm_input:
+                dense = nn.LayerNorm(epsilon=1e-5, name="norm_input")(dense)
+            for i in range(self.num_layers):
+                dense = TransformerEncoderLayer(
+                    self.d_model, self.nhead, self.dim_feedforward,
+                    self.dropout, self.activation, name=f"layer_{i}",
+                )(dense, valid, training, seg=seg)
+            dense = nn.LayerNorm(epsilon=1e-5, name="final_norm")(dense)
+            return dense, valid
         if self.use_cls:
             cls = self.param("cls_embedding", normal(1.0), (self.d_model,))
             cls_col = jnp.broadcast_to(cls, (B, 1, self.d_model)).astype(dense.dtype)

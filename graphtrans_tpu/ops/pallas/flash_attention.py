@@ -61,17 +61,22 @@ def _dropout_keep(shape, rate, seed):
     return (pltpu.bitcast(bits, jnp.uint32) < thresh).astype(jnp.float32)
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, m_ref, l_ref,
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, segq_ref, segk_ref,
+                o_ref, m_ref, l_ref,
                 *, s_len: int, rate: float, training: bool):
     from jax.experimental import pallas as pl
 
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)                       # [BQ, hd]
+    segq = segq_ref[0]                                     # [BQ, 1] i32
     scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
 
     # stats ride as [BQ, 1] columns and masks as [1, BK] rows — Mosaic has
-    # no 1-D vectors / minor-dim insertion on non-32-bit types
+    # no 1-D vectors / minor-dim insertion on non-32-bit types. Attention is
+    # masked by SEGMENT ID: query i attends key j iff segq[i] == segk[j] and
+    # segk[j] >= 0 (-1 = padding). The plain key-padding mask is the
+    # degenerate case segq = 0, segk = valid - 1.
     nk = s_len // BK
     m = jnp.full((BQ, 1), _NEG, jnp.float32)
     l = jnp.zeros((BQ, 1), jnp.float32)
@@ -81,7 +86,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, m_ref, l_ref,
         m, l, acc = carry
         kb = k_ref[0, pl.dslice(kc * BK, BK), :].astype(jnp.float32)
         vb = v_ref[0, pl.dslice(kc * BK, BK), :].astype(jnp.float32)
-        kv = valid_ref[0, :, pl.dslice(kc * BK, BK)]       # [1, BK]
+        sk = segk_ref[0, :, pl.dslice(kc * BK, BK)]        # [1, BK] i32
+        kv = (segq == sk) & (sk >= 0)                      # [BQ, BK]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=_prec(q_ref.dtype)) * scale
@@ -107,14 +113,15 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, m_ref, l_ref,
     l_ref[0] = l
 
 
-def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, do_ref, delta_ref,
-               m_ref, l_ref, dq_ref, *, s_len: int, rate: float,
+def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, segq_ref, segk_ref, do_ref,
+               delta_ref, m_ref, l_ref, dq_ref, *, s_len: int, rate: float,
                training: bool):
     from jax.experimental import pallas as pl
 
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)
+    segq = segq_ref[0]                                     # [BQ, 1] i32
     do = do_ref[0].astype(jnp.float32)
     delta = delta_ref[0]                                   # [BQ, 1]
     m = m_ref[0]                                           # [BQ, 1]
@@ -127,7 +134,8 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, do_ref, delta_ref,
     def body(kc, dq):
         kb = k_ref[0, pl.dslice(kc * BK, BK), :].astype(jnp.float32)
         vb = v_ref[0, pl.dslice(kc * BK, BK), :].astype(jnp.float32)
-        kv = valid_ref[0, :, pl.dslice(kc * BK, BK)]       # [1, BK]
+        sk = segk_ref[0, :, pl.dslice(kc * BK, BK)]        # [1, BK] i32
+        kv = (segq == sk) & (sk >= 0)                      # [BQ, BK]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=_prec(q_ref.dtype)) * scale
@@ -150,16 +158,16 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, do_ref, delta_ref,
     dq_ref[0] = jax.lax.fori_loop(0, nk, body, dq).astype(dq_ref.dtype)
 
 
-def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, do_ref, delta_ref,
-                m_ref, l_ref, dk_ref, dv_ref, *, s_len: int, rate: float,
-                training: bool):
+def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, segq_ref, segk_ref, do_ref,
+                delta_ref, m_ref, l_ref, dk_ref, dv_ref, *, s_len: int,
+                rate: float, training: bool):
     from jax.experimental import pallas as pl
 
     bh = pl.program_id(0)
     ki = pl.program_id(1)
     kb = k_ref[0].astype(jnp.float32)                      # [BK, hd]
     vb = v_ref[0].astype(jnp.float32)
-    kv = valid_ref[0]                                      # [1, BK]
+    sk = segk_ref[0]                                       # [1, BK] i32
     scale = 1.0 / jnp.sqrt(jnp.asarray(kb.shape[-1], jnp.float32))
 
     nq = s_len // BQ
@@ -169,6 +177,8 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, do_ref, delta_ref,
     def body(qc, carry):
         dk, dv = carry
         qb = q_ref[0, pl.dslice(qc * BQ, BQ), :].astype(jnp.float32)
+        sq = segq_ref[0, pl.dslice(qc * BQ, BQ), :]        # [BQ, 1] i32
+        kv = (sq == sk) & (sk >= 0)                        # [BQ, BK]
         dob = do_ref[0, pl.dslice(qc * BQ, BQ), :].astype(jnp.float32)
         delta = delta_ref[0, pl.dslice(qc * BQ, BQ), :]    # [BQ, 1]
         mb = m_ref[0, pl.dslice(qc * BQ, BQ), :]           # [BQ, 1]
@@ -206,28 +216,48 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, valid_ref, do_ref, delta_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _pad_s(x, s_pad, axis):
+def _pad_s(x, s_pad, axis, value=0):
     pad = s_pad - x.shape[axis]
     if pad == 0:
         return x
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
+    return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def flash_attention(q, k, v, key_valid, seed, rate: float = 0.0,
                     training: bool = False, interpret: bool = False):
     """q,k,v: [BH, S, hd]; key_valid: [BH, S] bool; seed: int32 scalar
     (traced) -> [BH, S, hd].
 
     Equivalent to masked_softmax(q k^T / sqrt(hd)) @ v with torch-style
-    attention dropout; S is padded to a BQ/BK multiple internally."""
-    o, _, _, _ = _fwd(q, k, v, key_valid, rate, seed, training, interpret)
+    attention dropout; S is padded to a BQ/BK multiple internally. The
+    key-padding mask is lowered to the segment form (segq = 0,
+    segk = valid - 1), so every query row keeps its current semantics
+    (attends all valid keys)."""
+    segk = jnp.where(key_valid, 0, -1).astype(jnp.int32)
+    return _flash_core(q, k, v, jnp.zeros_like(segk), segk, seed,
+                       rate, training, interpret)
+
+
+def flash_attention_seg(q, k, v, seg, seed, rate: float = 0.0,
+                        training: bool = False, interpret: bool = False):
+    """Segment-masked flash attention for variable-length packed rows
+    (ops/pack.py): token i attends token j iff seg[i] == seg[j] >= 0.
+    seg: [BH, S] int32, -1 = padding (fully-masked rows produce zeros).
+    q,k,v: [BH, S, hd] -> [BH, S, hd]."""
+    seg = seg.astype(jnp.int32)
+    return _flash_core(q, k, v, seg, seg, seed, rate, training, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _flash_core(q, k, v, segq, segk, seed, rate: float = 0.0,
+                training: bool = False, interpret: bool = False):
+    o, _, _, _ = _fwd(q, k, v, segq, segk, rate, seed, training, interpret)
     return o
 
 
-def _fwd(q, k, v, key_valid, rate, seed, training, interpret):
+def _fwd(q, k, v, segq, segk, rate, seed, training, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -237,13 +267,14 @@ def _fwd(q, k, v, key_valid, rate, seed, training, interpret):
     qp = _pad_s(q, s_pad, 1)
     kp = _pad_s(k, s_pad, 1)
     vp = _pad_s(v, s_pad, 1)
-    validp = _pad_s(key_valid, s_pad, 1)
+    segqp = _pad_s(segq.astype(jnp.int32), s_pad, 1)          # pad q: seg 0
+    segkp = _pad_s(segk.astype(jnp.int32), s_pad, 1, value=-1)  # pad k: mask
 
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
     grid = (BH, s_pad // BQ)
-    # valid rides as [BH, 1, S] and the m/l stats as [BH, S, 1]: 2-D blocks
-    # with a leading 1 violate Mosaic's (8,128) last-two-dims rule, a unit
-    # dim in the right place satisfies it for free
+    # key segs ride as [BH, 1, S], query segs and the m/l stats as
+    # [BH, S, 1]: 2-D blocks with a leading 1 violate Mosaic's (8,128)
+    # last-two-dims rule, a unit dim in the right place satisfies it for free
     o, m, l = pl.pallas_call(
         functools.partial(_fwd_kernel, s_len=s_pad, rate=rate,
                           training=training),
@@ -254,6 +285,7 @@ def _fwd(q, k, v, key_valid, rate, seed, training, interpret):
                 pl.BlockSpec((1, BQ, hd), lambda b, i, *_: (b, i, 0)),
                 pl.BlockSpec((1, s_pad, hd), lambda b, i, *_: (b, 0, 0)),
                 pl.BlockSpec((1, s_pad, hd), lambda b, i, *_: (b, 0, 0)),
+                pl.BlockSpec((1, BQ, 1), lambda b, i, *_: (b, i, 0)),
                 pl.BlockSpec((1, 1, s_pad), lambda b, i, *_: (b, 0, 0)),
             ],
             out_specs=[
@@ -268,21 +300,21 @@ def _fwd(q, k, v, key_valid, rate, seed, training, interpret):
             jax.ShapeDtypeStruct((BH, s_pad, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(seed, qp, kp, vp, validp[:, None, :])
-    return o[:, :S], m, l, (qp, kp, vp, validp, s_pad)
+    )(seed, qp, kp, vp, segqp[:, :, None], segkp[:, None, :])
+    return o[:, :S], m, l, (qp, kp, vp, segqp, segkp, s_pad)
 
 
-def _flash_fwd_rule(q, k, v, key_valid, seed, rate, training, interpret):
-    o, m, l, (qp, kp, vp, validp, s_pad) = _fwd(
-        q, k, v, key_valid, rate, seed, training, interpret)
-    return o, (qp, kp, vp, validp, o, m, l, seed)
+def _flash_fwd_rule(q, k, v, segq, segk, seed, rate, training, interpret):
+    o, m, l, (qp, kp, vp, segqp, segkp, s_pad) = _fwd(
+        q, k, v, segq, segk, rate, seed, training, interpret)
+    return o, (qp, kp, vp, segqp, segkp, o, m, l, seed)
 
 
 def _flash_bwd_rule(rate, training, interpret, res, g):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    qp, kp, vp, validp, o, m, l, seed = res
+    qp, kp, vp, segqp, segkp, o, m, l, seed = res
     BH, s_pad, hd = qp.shape
     S = o.shape[1]
     gp = _pad_s(g, s_pad, 1)
@@ -301,6 +333,7 @@ def _flash_bwd_rule(rate, training, interpret, res, g):
                 pl.BlockSpec((1, BQ, hd), lambda b, i, *_: (b, i, 0)),
                 pl.BlockSpec((1, s_pad, hd), lambda b, i, *_: (b, 0, 0)),
                 pl.BlockSpec((1, s_pad, hd), lambda b, i, *_: (b, 0, 0)),
+                pl.BlockSpec((1, BQ, 1), lambda b, i, *_: (b, i, 0)),
                 pl.BlockSpec((1, 1, s_pad), lambda b, i, *_: (b, 0, 0)),
                 pl.BlockSpec((1, BQ, hd), lambda b, i, *_: (b, i, 0)),
                 pl.BlockSpec((1, BQ, 1), lambda b, i, *_: (b, i, 0)),
@@ -311,7 +344,8 @@ def _flash_bwd_rule(rate, training, interpret, res, g):
         ),
         out_shape=jax.ShapeDtypeStruct((BH, s_pad, hd), qp.dtype),
         interpret=interpret,
-    )(seeds, qp, kp, vp, validp[:, None, :], gp, delta, m, l)
+    )(seeds, qp, kp, vp, segqp[:, :, None], segkp[:, None, :], gp, delta,
+      m, l)
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, s_len=s_pad, rate=rate,
@@ -323,6 +357,7 @@ def _flash_bwd_rule(rate, training, interpret, res, g):
                 pl.BlockSpec((1, s_pad, hd), lambda b, i, *_: (b, 0, 0)),
                 pl.BlockSpec((1, BK, hd), lambda b, i, *_: (b, i, 0)),
                 pl.BlockSpec((1, BK, hd), lambda b, i, *_: (b, i, 0)),
+                pl.BlockSpec((1, s_pad, 1), lambda b, i, *_: (b, 0, 0)),
                 pl.BlockSpec((1, 1, BK), lambda b, i, *_: (b, 0, i)),
                 pl.BlockSpec((1, s_pad, hd), lambda b, i, *_: (b, 0, 0)),
                 pl.BlockSpec((1, s_pad, 1), lambda b, i, *_: (b, 0, 0)),
@@ -339,9 +374,10 @@ def _flash_bwd_rule(rate, training, interpret, res, g):
             jax.ShapeDtypeStruct((BH, s_pad, hd), vp.dtype),
         ],
         interpret=interpret,
-    )(seeds, qp, kp, vp, validp[:, None, :], gp, delta, m, l)
+    )(seeds, qp, kp, vp, segqp[:, :, None], segkp[:, None, :], gp, delta,
+      m, l)
 
-    return dq[:, :S], dk[:, :S], dv[:, :S], None, None
+    return dq[:, :S], dk[:, :S], dv[:, :S], None, None, None
 
 
-flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+_flash_core.defvjp(_flash_fwd_rule, _flash_bwd_rule)
