@@ -409,8 +409,8 @@ def _copy_encoder_stack(twin, tp):
 
 
 def load_pna_from_flax(twin: TorchPNATransformer, params, batch_stats):
-    _copy_lin(twin.node_encoder, params["node_encoder"]["TDense_0"])
     gp, gbs = params["pna"], batch_stats["pna"]
+    _copy_lin(twin.node_encoder, gp["node_encoder"]["TDense_0"])
     with torch.no_grad():
         for i in range(twin.num_layer):
             cp = gp[f"conv_{i}"]
@@ -526,7 +526,7 @@ class TorchGCNVirtualSeqFlagship(torch.nn.Module):
 
 
 def load_gcn_seq_from_flax(twin: TorchGCNVirtualSeqFlagship, params,
-                           batch_stats, edge_enc_key="LinearEdgeEncoder_0"):
+                           batch_stats, edge_enc_key="edge_encoder"):
     ne = params["node_encoder"]
     with torch.no_grad():
         twin.type_emb.weight.copy_(_t(ne["type_emb"]))

@@ -105,11 +105,7 @@ def flagship_args(**over):
     return ns
 
 
-def build_dataset(num_graphs, seed, feat_dim=16):
-    from graphtrans_tpu.data.synthetic import make_tu_dataset
-
-    graphs = make_tu_dataset(num_graphs=num_graphs, num_node_labels=feat_dim,
-                             seed=seed)
+def _split(graphs, seed):
     rng = np.random.default_rng(seed + 1000)
     order = rng.permutation(len(graphs))
     n_tr = int(len(graphs) * 0.8)
@@ -121,24 +117,61 @@ def build_dataset(num_graphs, seed, feat_dim=16):
     }
 
 
-class JaxRunner:
-    """Production-stack runner: real model registry, trainers, optax chain."""
+def build_dataset(num_graphs, seed, feat_dim=16):
+    from graphtrans_tpu.data.synthetic import make_tu_dataset
 
-    def __init__(self, hp, splits, num_tasks, feat_dim, seed, flag=False):
+    graphs = make_tu_dataset(num_graphs=num_graphs, num_node_labels=feat_dim,
+                             seed=seed)
+    return _split(graphs, seed)
+
+
+def build_code_dataset(num_graphs, seed):
+    """code2-shaped splits (augmented edges + 5-token target arrays) and the
+    vocab they encode against."""
+    from graphtrans_tpu.data.synthetic import make_code_dataset
+    from graphtrans_tpu.data.vocab import (augment_edge, encode_seq_to_arr,
+                                           get_vocab_mapping)
+
+    raw = make_code_dataset(num_graphs=num_graphs, vocab_size=20,
+                            seq_len_max=5, min_nodes=10, max_nodes=50,
+                            seed=seed)
+    vocab2idx, _ = get_vocab_mapping([g["y_seq"] for g in raw], 20)
+    graphs = []
+    for g in raw:
+        g = augment_edge(g)
+        g["y_arr"] = encode_seq_to_arr(g["y_seq"], vocab2idx, 5)
+        graphs.append(g)
+    return _split(graphs, seed), len(vocab2idx)
+
+
+class JaxRunner:
+    """Production-stack runner: real model registry, trainers, optax chain.
+
+    arm: 'flagship' (GIN-virtual JK=cat -> CLS transformer, CE),
+         'pna' (PNA-transformer, CE — exercises the ELL/scatter-free
+         reducer numerics' segment-path oracle under real dynamics),
+         'code2' (GCN-virtual JK=cat + 5-position seq head, per-position
+         CE — the code2 flagship composition)."""
+
+    def __init__(self, hp, splits, num_tasks, feat_dim, seed, flag=False,
+                 arm="flagship"):
         import jax
         import jax.numpy as jnp
 
         from graphtrans_tpu.data.batch import collate
         from graphtrans_tpu.data.loader import dataset_caps
         from graphtrans_tpu.models import MODELS
-        from graphtrans_tpu.nn.encoders import LinearNodeEncoder, ZeroEdgeEncoder
+        from graphtrans_tpu.nn.encoders import (ASTNodeEncoder,
+                                                LinearEdgeEncoder,
+                                                LinearNodeEncoder,
+                                                ZeroEdgeEncoder)
         from graphtrans_tpu.train import losses
         from graphtrans_tpu.train.optim import build_optimizer
         from graphtrans_tpu.train.state import TrainState
         from graphtrans_tpu.trainers.base_trainer import BaseTrainer, apply_update
         from graphtrans_tpu.trainers.flag_trainer import FlagTrainer
 
-        self.hp, self.flag = hp, flag
+        self.hp, self.flag, self.arm = hp, flag, arm
         all_graphs = sum(splits.values(), [])
         self.caps = dataset_caps(all_graphs, hp.batch_size,
                                  node_multiple=64, edge_multiple=128)
@@ -146,10 +179,33 @@ class JaxRunner:
         self._collate = lambda graphs: collate(
             graphs, hp.batch_size + 1, self.caps[0], self.caps[1],
             num_tasks=num_tasks, y_dtype="int32",
+            max_seq_len=hp.max_seq_len,
             max_input_len=hp.max_input_len)
 
-        model = MODELS["gnn-transformer"].build(
-            num_tasks, hp, LinearNodeEncoder(hp.gnn_emb_dim), ZeroEdgeEncoder)
+        gnn_subtree = "gnn_node"
+        if arm == "pna":
+            self.deg = np.zeros(64, np.int64)
+            for g in splits["train"]:
+                d = np.bincount(g["edge_index"][1],
+                                minlength=g["x"].shape[0]).clip(max=63)
+                self.deg += np.bincount(d, minlength=64)
+            model = MODELS["pna-transformer"].build(
+                num_tasks, hp, LinearNodeEncoder(hp.gnn_emb_dim),
+                ZeroEdgeEncoder, deg=self.deg)
+            calc_loss = losses.classification_loss
+            gnn_subtree = "pna"
+        elif arm == "code2":
+            model = MODELS["gnn-transformer"].build(
+                num_tasks, hp,
+                ASTNodeEncoder(hp.gnn_emb_dim, num_nodetypes=20,
+                               num_nodeattributes=100, max_depth=20),
+                lambda e: LinearEdgeEncoder(e))
+            calc_loss = losses.seq_token_loss
+        else:
+            model = MODELS["gnn-transformer"].build(
+                num_tasks, hp, LinearNodeEncoder(hp.gnn_emb_dim),
+                ZeroEdgeEncoder)
+            calc_loss = losses.classification_loss
         probe = self._collate(splits["train"][:2])
         variables = model.init(
             {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
@@ -161,18 +217,19 @@ class JaxRunner:
         tx, _ = build_optimizer(hp, steps_per_epoch)
         self.state = TrainState.create(self.params0, self.bstats0,
                                        tx.init(self.params0))
-        calc_loss = losses.classification_loss
         trainer = FlagTrainer if flag else BaseTrainer
         grad_fn = trainer.make_grad_fn(model, calc_loss, hp)
 
         if flag:
             def train_step(state, batch, rng, perturb0):
                 grads, new_bs, loss = grad_fn(state, batch, rng, perturb0)
-                return apply_update(state, grads, new_bs, loss, tx, "gnn_node")
+                return apply_update(state, grads, new_bs, loss, tx,
+                                    gnn_subtree)
         else:
             def train_step(state, batch, rng):
                 grads, new_bs, loss = grad_fn(state, batch, rng)
-                return apply_update(state, grads, new_bs, loss, tx, "gnn_node")
+                return apply_update(state, grads, new_bs, loss, tx,
+                                    gnn_subtree)
 
         self._step = jax.jit(train_step)
         self._fwd = jax.jit(lambda p, bs, b: model.apply(
@@ -203,10 +260,16 @@ class JaxRunner:
             logits = np.asarray(self._fwd(self.state.params,
                                           self.state.batch_stats, batch))
             mask = np.asarray(batch.graph_mask)
-            pred = logits[mask].argmax(-1)
-            y = np.asarray(batch.y).reshape(-1)[mask]
-            correct += int((pred == y).sum())
-            total += len(y)
+            if self.arm == "code2":
+                pred = logits[mask].argmax(-1)        # [g, L]
+                y = np.asarray(batch.y_arr)[mask]
+                correct += int((pred == y).sum())
+                total += y.size
+            else:
+                pred = logits[mask].argmax(-1)
+                y = np.asarray(batch.y).reshape(-1)[mask]
+                correct += int((pred == y).sum())
+                total += len(y)
         return correct / max(total, 1)
 
 
@@ -214,29 +277,72 @@ class TorchRunner:
     """torch twin runner: same initial weights, same reference semantics."""
 
     def __init__(self, hp, jax_runner, num_tasks, feat_dim, total_steps,
-                 flag=False):
+                 flag=False, arm="flagship"):
         import torch
 
-        from torch_twin import (TorchGINVirtualFlagship, TorchTrainer,
-                                batch_to_torch, load_from_flax)
+        from torch_twin import (TorchGCNVirtualSeqFlagship,
+                                TorchGINVirtualFlagship, TorchPNATransformer,
+                                TorchTrainer, batch_to_torch,
+                                batch_to_torch_code, load_from_flax,
+                                load_gcn_seq_from_flax, load_pna_from_flax)
 
         torch.manual_seed(0)  # init is overwritten by the copy below
-        self.hp, self.flag = hp, flag
+        self.hp, self.flag, self.arm = hp, flag, arm
         self.batch_to_torch = batch_to_torch
-        self.twin = TorchGINVirtualFlagship(
-            feat_dim, hp.gnn_emb_dim, hp.gnn_num_layer, hp.d_model, hp.nhead,
-            hp.dim_feedforward, hp.num_encoder_layers, num_tasks,
-            max_input_len=hp.max_input_len)
-        load_from_flax(self.twin, jax_runner.params0, jax_runner.bstats0)
+        self.batch_to_torch_code = batch_to_torch_code
+        if arm == "pna":
+            from graphtrans_tpu.nn.pna import avg_degree_stats
+
+            self.twin = TorchPNATransformer(
+                feat_dim, hp.gnn_emb_dim, hp.gnn_num_layer, hp.d_model,
+                hp.nhead, hp.dim_feedforward, hp.num_encoder_layers,
+                num_tasks,
+                avg_deg_log=max(avg_degree_stats(jax_runner.deg)["log"],
+                                1e-6),
+                max_input_len=hp.max_input_len)
+            load_pna_from_flax(self.twin, jax_runner.params0,
+                               jax_runner.bstats0)
+        elif arm == "code2":
+            self.twin = TorchGCNVirtualSeqFlagship(
+                hp.gnn_emb_dim, hp.gnn_num_layer, hp.d_model, hp.nhead,
+                hp.dim_feedforward, hp.num_encoder_layers, num_tasks,
+                max_seq_len=hp.max_seq_len, num_nodetypes=20,
+                num_nodeattributes=100, max_depth=20,
+                max_input_len=hp.max_input_len)
+            load_gcn_seq_from_flax(self.twin, jax_runner.params0,
+                                   jax_runner.bstats0)
+        else:
+            self.twin = TorchGINVirtualFlagship(
+                feat_dim, hp.gnn_emb_dim, hp.gnn_num_layer, hp.d_model,
+                hp.nhead, hp.dim_feedforward, hp.num_encoder_layers,
+                num_tasks, max_input_len=hp.max_input_len)
+            load_from_flax(self.twin, jax_runner.params0, jax_runner.bstats0)
         self.trainer = TorchTrainer(
             self.twin, hp.lr, hp.weight_decay, hp.grad_clip, total_steps,
             cosine=hp.scheduler == "cosine")
         self._torch = torch
 
+    def _seq_loss(self, logits, y_arr):
+        """graphtrans_tpu.train.losses.seq_token_loss semantics: mean CE
+        per position, averaged over positions."""
+        F = self._torch.nn.functional
+        L = logits.shape[1]
+        return sum(F.cross_entropy(logits[:, i], y_arr[:, i])
+                   for i in range(L)) / L
+
     def step(self, graphs, perturb0_real=None):
         torch = self._torch
-        x, src, dst, graph_of, n_per, y = self.batch_to_torch(graphs)
         self.twin.train()
+        if self.arm == "code2":
+            (x, depth, src, dst, ea, graph_of, n_per,
+             y_arr) = self.batch_to_torch_code(graphs, self.hp.max_seq_len)
+
+            def loss_fn():
+                logits = self.twin(x, depth, src, dst, ea, graph_of, n_per)
+                return self._seq_loss(logits, y_arr)
+
+            return self.trainer.step(loss_fn)
+        x, src, dst, graph_of, n_per, y = self.batch_to_torch(graphs)
         if self.flag:
             def forward_fn(perturb):
                 logits = self.twin(x, src, dst, graph_of, n_per, perturb)
@@ -260,6 +366,15 @@ class TorchRunner:
         with torch.no_grad():
             for i in range(0, len(graphs), bs):
                 chunk = graphs[i:i + bs]
+                if self.arm == "code2":
+                    (x, depth, src, dst, ea, graph_of, n_per,
+                     y_arr) = self.batch_to_torch_code(chunk,
+                                                       self.hp.max_seq_len)
+                    pred = self.twin(x, depth, src, dst, ea, graph_of,
+                                     n_per).argmax(-1)
+                    correct += int((pred == y_arr).sum())
+                    total += y_arr.numel()
+                    continue
                 x, src, dst, graph_of, n_per, y = self.batch_to_torch(chunk)
                 pred = self.twin(x, src, dst, graph_of, n_per).argmax(-1)
                 correct += int((pred == y).sum())
@@ -268,7 +383,7 @@ class TorchRunner:
 
 
 def paired_run(hp, splits, num_tasks, feat_dim, seed, epochs, flag=False,
-               log=print):
+               log=print, arm="flagship"):
     """Train both frameworks in lockstep on identical batches from identical
     weights; returns per-step losses, per-epoch means and final metrics."""
     train = splits["train"]
@@ -276,8 +391,9 @@ def paired_run(hp, splits, num_tasks, feat_dim, seed, epochs, flag=False,
     total_steps = epochs * steps_per_epoch
     hp.epochs = epochs  # cosine horizon for the jax side
 
-    jr = JaxRunner(hp, splits, num_tasks, feat_dim, seed, flag=flag)
-    tr = TorchRunner(hp, jr, num_tasks, feat_dim, total_steps, flag=flag)
+    jr = JaxRunner(hp, splits, num_tasks, feat_dim, seed, flag=flag, arm=arm)
+    tr = TorchRunner(hp, jr, num_tasks, feat_dim, total_steps, flag=flag,
+                     arm=arm)
     noise = np.random.default_rng(seed + 31337)
 
     j_losses, t_losses = [], []
@@ -372,27 +488,52 @@ def main():
     ap.add_argument("--num_graphs", type=int, default=240)
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--flag_epochs", type=int, default=40)
+    ap.add_argument("--arm_epochs", type=int, default=60,
+                    help="epochs for the pna/code2 arms (heavier models)")
     ap.add_argument("--preset", choices=["full", "smoke"], default="full")
     ap.add_argument("--out", default=".")
     opts = ap.parse_args()
     if opts.preset == "smoke":
         opts.epochs, opts.seeds, opts.num_graphs, opts.flag_epochs = 5, 1, 80, 2
+        opts.arm_epochs = 2
 
     force_cpu()
     splits = build_dataset(opts.num_graphs, seed=0)
+    code_splits, code_vocab = build_code_dataset(opts.num_graphs, seed=0)
     feat_dim, num_tasks = 16, 2
     t0 = time.time()
 
+    # arm table: (arm key, flag, epochs, dataset splits, num_tasks, hp maker)
+    pna_hp = lambda: flagship_args(
+        batch_size=opts.batch_size, gnn_type="pna", gnn_virtual_node=False,
+        gnn_JK="last", gnn_residual=True, gnn_emb_dim=64, m=3,
+        aggregators=["mean", "max", "min", "std"],
+        scalers=["identity", "amplification", "attenuation"],
+        post_layers=1, add_edge="none")
+    code_hp = lambda: flagship_args(
+        batch_size=opts.batch_size, gnn_type="gcn", gnn_virtual_node=True,
+        gnn_JK="cat", gnn_emb_dim=64, max_seq_len=5, m=3)
+    arm_specs = (
+        ("baseline", "flagship", False, opts.epochs, splits, num_tasks,
+         lambda: flagship_args(batch_size=opts.batch_size, m=3)),
+        ("flag", "flagship", True, opts.flag_epochs, splits, num_tasks,
+         lambda: flagship_args(batch_size=opts.batch_size, m=2)),
+        # the two most aggressively re-designed numerics, under real
+        # training dynamics (VERDICT r04 #2): PNA reducers and the code2
+        # GCN-virtual + 5-position CE composition
+        ("pna", "pna", False, opts.arm_epochs, splits, num_tasks, pna_hp),
+        ("code2", "code2", False, opts.arm_epochs, code_splits, code_vocab,
+         code_hp),
+    )
+
     arms = {}
-    for flag, epochs, name in ((False, opts.epochs, "baseline"),
-                               (True, opts.flag_epochs, "flag")):
+    for name, arm_kind, flag, epochs, sp, ntasks, mk_hp in arm_specs:
         runs = []
         for seed in range(opts.seeds):
-            hp = flagship_args(batch_size=opts.batch_size,
-                               m=2 if flag else 3)
+            hp = mk_hp()
             print(f"[{name}] seed {seed} ({epochs} epochs)")
-            runs.append(paired_run(hp, splits, num_tasks, feat_dim, seed,
-                                   epochs, flag=flag))
+            runs.append(paired_run(hp, sp, ntasks, feat_dim, seed,
+                                   epochs, flag=flag, arm=arm_kind))
         arms[name] = {"runs": runs, "summary": summarize(runs)}
 
     verdict = {}
