@@ -115,9 +115,11 @@ class PNAConv(nn.Module):
             ell_d, ell_s = plan_expand.ell_plans(batch)
             # the src-major sfa plan (always present on this route — ELL
             # requires _sfa_route) sends the backward through slot order:
-            # L ≈ 1.4·E fused gathers + one one-hot matmul instead of a
-            # k_out-column walk over 70%-padding ELL slots (259.5 -> see
-            # bench code2_pna)
+            # L ≈ 1.2–1.4·E fused gathers (the slot-budget inflation —
+            # ~1.23·E measured on code2 per-batch plans, up to ~1.4 with
+            # the sampled dataset-wide budgets) + one one-hot matmul
+            # instead of a k_out-column walk over 70%-padding ELL slots
+            # (259.5 -> see bench code2_pna)
             _, sfa_s = plan_expand.sfa_plans(batch)
             s1, s2, mxb, mnb = ell_multi(
                 xjproj, ell_d, ell_s, sfa_s,

@@ -256,6 +256,14 @@ def _multi_bwd_sfa(nb, want_sumsq, want_minmax, res, gs):
         return jnp.zeros((N, C), dt) if t is None else t.astype(dt)
 
     L = sfa_src["mask"].shape[0]
+    # nb must be the sfa plan's own block rows: a mismatched (plan, nb) pair
+    # would silently compute wrong 'own' src indices and corrupt gradients
+    # (nb=0 would divide-by-zero at trace time with a cryptic message)
+    if nb <= 0 or N % nb != 0 or L % (N // nb) != 0:
+        raise ValueError(
+            f"ell_multi slot-order backward: nb={nb} inconsistent with "
+            f"N={N}, L={L} (need nb > 0, N % nb == 0, L % (N//nb) == 0 — "
+            "pass batch.sfa_nb with the matching sfa_src plan)")
     nblk = N // nb
     eb = L // nblk
     ctr = sfa_src["other_g"]                        # [L] center (dst) row

@@ -122,6 +122,31 @@ def count_params(tree) -> int:
     return int(sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(tree)))
 
 
+def watch_norms(params, prev_params=None, prefix="watch") -> dict:
+    """wandb.watch(model) equivalent (/root/reference/main.py:176): per
+    top-level-subtree parameter L2 norms, plus per-subtree UPDATE norms
+    ||p_t - p_{t-1}|| when the previous epoch's params are supplied (the
+    gradient-histogram signal, integrated over the epoch — per-step grads
+    never leave the jitted step). Scalars only: one D2H per subtree."""
+    import jax
+    import jax.numpy as jnp
+
+    def l2(tree):
+        return float(jnp.sqrt(sum(
+            jnp.sum(jnp.square(x.astype(jnp.float32)))
+            for x in jax.tree_util.tree_leaves(tree))))
+
+    out = {}
+    for key, sub in params.items():
+        out[f"{prefix}/param_norm/{key}"] = l2(sub)
+        if prev_params is not None and key in prev_params:
+            delta = jax.tree_util.tree_map(
+                lambda a, b: a.astype(jnp.float32) - b.astype(jnp.float32),
+                sub, prev_params[key])
+            out[f"{prefix}/update_norm/{key}"] = l2(delta)
+    return out
+
+
 def count_trainable_params(params, freeze_active: bool = False,
                            frozen_subtree: str = "gnn_node") -> int:
     """Total minus the frozen GNN subtree when --freeze_gnn is active

@@ -625,6 +625,7 @@ def main():
 
         old_handler = signal.signal(signal.SIGTERM, _on_term)
 
+        watch_prev = None
         for epoch in range(start_epoch, args.epochs + 1):
             t_ep = time.perf_counter()
             stats: dict = {}
@@ -645,10 +646,20 @@ def main():
             lr_now = read_lr(state.opt_state)
             dt_ep = time.perf_counter() - t_ep
             eps = stats.get("edges", 0) / max(dt_ep, 1e-9)
-            metrics_log.log({"epoch": epoch, f"train/loss-runs{run_id}": loss,
+            epoch_metrics = {"epoch": epoch,
+                             f"train/loss-runs{run_id}": loss,
                              "train/lr": lr_now, "epoch_seconds": dt_ep,
                              "train/edges_per_s": eps,
-                             "train/graphs_per_s": stats.get("graphs", 0) / max(dt_ep, 1e-9)})
+                             "train/graphs_per_s": stats.get("graphs", 0) / max(dt_ep, 1e-9)}
+            if getattr(args, "wandb", False):
+                # wandb.watch(model) equivalent (reference main.py:176):
+                # per-subtree param + epoch-update norms
+                from graphtrans_tpu.utils.logging import watch_norms
+
+                epoch_metrics.update(watch_norms(
+                    state.params, prev_params=watch_prev))
+                watch_prev = state.params
+            metrics_log.log(epoch_metrics)
             from graphtrans_tpu.utils.logging import count_trainable_params
 
             trainable = count_trainable_params(

@@ -24,8 +24,11 @@ from __future__ import annotations
 
 import gzip
 import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     "data_snapshots")
@@ -112,7 +115,13 @@ METHOD_TOKENS = ["get", "set", "update", "load", "save", "parse", "run",
 
 
 def code_graph(rng):
-    n = int(rng.integers(15, 120))
+    # heavy-tailed sizes matching the real dataset (mean ~125, tail past
+    # max_input_len=1000) so the snapshot exercises truncation and the
+    # packed/flash transformer routes; clipped lower than the synthetic
+    # generator's 2000 to keep the vendored snapshot small
+    from graphtrans_tpu.data.synthetic import code2_size_sampler
+
+    n = code2_size_sampler(rng, hi=1400)
     parent = [int(rng.integers(0, i)) for i in range(1, n)]  # DFS-ish tree
     edges = np.array([(p, i + 1) for i, p in enumerate(parent)], np.int64)
     depth = np.zeros(n, np.int64)
@@ -127,7 +136,7 @@ def code_graph(rng):
     return x, edges, depth, is_attr, y_seq
 
 
-def make_code2(num_graphs=120, seed=11):
+def make_code2(num_graphs=240, seed=13):
     rng = np.random.default_rng(seed)
     d = os.path.join(ROOT, "ogbg_code2")
     nn, ne, feats, edges, depths, attrs, seqs = [], [], [], [], [], [], []

@@ -60,7 +60,10 @@ def test_code2_snapshot_loads_with_mapping_csvs():
     from graphtrans_tpu.data.code import CodeUtil, load_code_graphs
 
     graphs, split_idx, num_types, num_attrs = load_code_graphs(SNAP, "ogbg-code2")
-    assert len(graphs) == 120
+    assert len(graphs) == 240
+    # the snapshot carries the real dataset's heavy tail: at least one graph
+    # past max_input_len=1000 so truncation / packed routes are exercised
+    assert max(g["x"].shape[0] for g in graphs) > 1000
     # encoder sizes come from the mapping CSVs, not inference
     assert num_types == 20 and num_attrs == 31
     assert graphs[0]["node_depth"].max() >= 1

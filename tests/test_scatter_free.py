@@ -421,3 +421,84 @@ def test_scatter_free_large_graphs_and_hub_fallback(rng, monkeypatch):
         assert np.isfinite(np.asarray(out)).all()
     finally:
         conv_mod.set_scatter_free("auto")
+
+
+@pytest.mark.parametrize("use_sfa_bwd", [True, False])
+def test_ell_multi_backward_slot_vs_column(use_sfa_bwd):
+    """ADVICE r04: the ELL-column fallback backward (sfa_src=None) is the
+    no-sfa fallback arm — pin it against the production slot-order backward
+    so it cannot silently rot. Both must match the autodiff of a dense
+    reference reduction."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphtrans_tpu.ops import plan_expand
+    from graphtrans_tpu.ops.ell import ell_multi
+
+    batch = _sfa_batch(num_graphs=6, min_nodes=10, max_nodes=60, seed=11)
+    assert plan_expand.has_ell(batch)
+    ell_d, ell_s = jax.jit(plan_expand.ell_plans)(batch)
+    _, sfa_s = jax.jit(plan_expand.sfa_plans)(batch)
+    N = batch.num_node_slots
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(rng.normal(size=(N, 8)).astype(np.float32))
+
+    def loss(v):
+        s1, s2, mx, mn = ell_multi(
+            v, ell_d, ell_s, sfa_s if use_sfa_bwd else None,
+            batch.ell_k_in, batch.ell_k_out, True, True,
+            batch.sfa_nb if use_sfa_bwd else 0)
+        return (jnp.sum(s1 * s1) + jnp.sum(s2) + jnp.sum(mx ** 2)
+                + jnp.sum(jnp.abs(mn)))
+
+    g = jax.grad(loss)(vals)
+
+    # dense autodiff reference over the adjacency implied by the edge lists
+    src = np.asarray(batch.edge_src)[np.asarray(batch.edge_mask)]
+    dst = np.asarray(batch.edge_dst)[np.asarray(batch.edge_mask)]
+    A = np.zeros((N, N), np.float32)
+    for s, d in zip(src, dst):
+        A[d, s] += 1.0  # multigraph edges accumulate, like the ELL slots
+    A_t = jnp.asarray(A)
+    big = 1e30
+
+    def ref_loss(v):
+        s1 = A_t @ v
+        s2 = A_t @ (v * v)
+        has = (A_t.sum(1) > 0)[:, None]
+        vx = jnp.where((A_t > 0)[:, :, None], v[None], -big)
+        mx = jnp.where(has, vx.max(1), 0.0)
+        vn = jnp.where((A_t > 0)[:, :, None], v[None], big)
+        mn = jnp.where(has, vn.min(1), 0.0)
+        return (jnp.sum(s1 * s1) + jnp.sum(s2) + jnp.sum(mx ** 2)
+                + jnp.sum(jnp.abs(mn)))
+
+    g_ref = jax.grad(ref_loss)(vals)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ell_multi_sfa_nb_mismatch_raises():
+    """ADVICE r04: a (plan, nb) mismatch must fail loudly, not corrupt
+    gradients."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from graphtrans_tpu.ops import plan_expand
+    from graphtrans_tpu.ops.ell import ell_multi
+
+    batch = _sfa_batch(num_graphs=6, min_nodes=10, max_nodes=60, seed=11)
+    ell_d, ell_s = jax.jit(plan_expand.ell_plans)(batch)
+    _, sfa_s = jax.jit(plan_expand.sfa_plans)(batch)
+    vals = jnp.ones((batch.num_node_slots, 8), jnp.float32)
+
+    def loss(v, nb):
+        s1, *_ = ell_multi(v, ell_d, ell_s, sfa_s, batch.ell_k_in,
+                           batch.ell_k_out, True, True, nb)
+        return jnp.sum(s1)
+
+    with _pytest.raises(ValueError, match="nb"):
+        jax.grad(loss)(vals, 0)
+    with _pytest.raises(ValueError, match="nb"):
+        jax.grad(loss)(vals, batch.sfa_nb + 1)
