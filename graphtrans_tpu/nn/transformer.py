@@ -188,6 +188,28 @@ class MultiheadSelfAttention(nn.Module):
 
         if seg is not None:
             on_tpu = jax.default_backend() == "tpu"
+            if ((on_tpu or _PFUSED_INTERPRET) and d % 128 == 0
+                    and S <= 384
+                    and _ATTN_BACKEND in ("auto", "packed_fused")):
+                # variable-length packed rows at medium S: the heads-in-
+                # lanes fused kernel with segment masking (full d-lane
+                # contractions — flash at hd=32 pays a 4x lane-padding tax)
+                from ..ops.pallas.attention_packed import (
+                    attention_packed_seg_qkv)
+
+                rate = self.dropout if training else 0.0
+                seed = (
+                    jax.random.randint(self.make_rng("dropout"), (), 0,
+                                       2**31 - 1)
+                    if rate > 0.0 else jnp.zeros((), jnp.int32)
+                )
+                y = attention_packed_seg_qkv(
+                    qkv, seg.astype(jnp.int32), seed, self.nhead, rate,
+                    training, _PFUSED_INTERPRET)
+                out_w = self.param("out_proj", kaiming_uniform(), (d, d))
+                out_b = self.param("out_proj_bias", nn.initializers.zeros,
+                                   (d,))
+                return y.astype(x.dtype) @ out_w + out_b
             if ((on_tpu or _FLASH_INTERPRET) and S >= 256
                     and _ATTN_BACKEND in ("auto", "flash")):
                 from ..ops.pallas.flash_attention import flash_attention_seg

@@ -129,6 +129,26 @@ def _head_masks(valid, S, block, b_total):
     return m * vpad[:, None, :] * ok
 
 
+def _head_masks_seg(seg, S, b_total):
+    """[BT, S] i32 segment ids (-1 = padding) -> f32 0/1 softmax mask
+    [BT, S, SP]: key j attendable by query i iff seg[i] == seg[j] >= 0 —
+    the variable-length packed-row (ops/pack.py) mask. Same arithmetic-only
+    construction constraints as _head_masks."""
+    from jax.experimental import pallas as pl
+
+    bt = seg.shape[0]
+    sp = _sp(S)
+    segp = (jnp.concatenate(
+        [seg, jnp.full((bt, sp - S), -1, seg.dtype)], axis=1)
+        if sp > S else seg)                                   # [BT, sp]
+    eq = (seg[:, :, None] == segp[:, None, :]).astype(jnp.float32)
+    kv_ok = (segp >= 0).astype(jnp.float32)[:, None, :]
+    base = pl.program_id(0) * bt
+    bi = jax.lax.broadcasted_iota(jnp.int32, (bt, 1, 1), 0) + base
+    ok = (bi < b_total).astype(jnp.float32)
+    return eq * kv_ok * ok
+
+
 def _probs_all(q, k2, mask, nhead, hd, rate, training, seed,
                interpret=False):
     """Score + per-head masked softmax (+ dropout). Returns
@@ -187,14 +207,16 @@ def attn_fwd_math(qkv, mask, nhead, rate, training, seed, interpret=False):
 
 
 def _fwd_kernel(seed_ref, qkv_ref, valid_ref, o_ref, *,
-                nhead, rate, training, block, b_total, interpret=False):
+                nhead, rate, training, block, b_total, interpret=False,
+                use_seg=False):
     from jax.experimental import pallas as pl
 
     qkv = qkv_ref[...]
     S = qkv.shape[1]
     seed = seed_ref[0] + pl.program_id(0) * nhead
     valid = jax.lax.squeeze(valid_ref[...], (1,))
-    mask = _head_masks(valid, S, block, b_total)
+    mask = (_head_masks_seg(valid, S, b_total) if use_seg
+            else _head_masks(valid, S, block, b_total))
     o_ref[...] = attn_fwd_math(qkv, mask, nhead, rate, training, seed,
                                interpret).astype(o_ref.dtype)
 
@@ -264,14 +286,15 @@ def attn_bwd_math(qkv, mask, g, nhead, rate, training, seed,
 
 def _bwd_kernel(seed_ref, qkv_ref, valid_ref, g_ref,
                 dqkv_ref, *, nhead, rate, training, block,
-                b_total, interpret=False):
+                b_total, interpret=False, use_seg=False):
     from jax.experimental import pallas as pl
 
     qkv = qkv_ref[...]
     S = qkv.shape[1]
     seed = seed_ref[0] + pl.program_id(0) * nhead
     valid = jax.lax.squeeze(valid_ref[...], (1,))
-    mask = _head_masks(valid, S, block, b_total)
+    mask = (_head_masks_seg(valid, S, b_total) if use_seg
+            else _head_masks(valid, S, block, b_total))
     dqkv_ref[...] = attn_bwd_math(qkv, mask, g_ref[...], nhead, rate,
                                   training, seed, interpret).astype(
         dqkv_ref.dtype)
@@ -323,7 +346,7 @@ def attention_packed(q, k, v, key_valid, seed, nhead: int, rate: float = 0.0,
 
 
 def _call_fwd(qkv, key_valid, seed, nhead, rate, training, interpret,
-              block):
+              block, use_seg=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -338,7 +361,7 @@ def _call_fwd(qkv, key_valid, seed, nhead, rate, training, interpret,
     return pl.pallas_call(
         functools.partial(_fwd_kernel, nhead=nhead, rate=rate,
                           training=training, block=block, b_total=B,
-                          interpret=interpret),
+                          interpret=interpret, use_seg=use_seg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(-(-B // _bt(S)),),
@@ -358,19 +381,19 @@ def _fwd_rule(qkv, key_valid, seed, nhead, rate, training, interpret,
     return o, (qkv, key_valid, seed)
 
 
-def _bwd_rule(nhead, rate, training, interpret, block, res, g):
+def _call_bwd(qkv, key_valid, seed, g, nhead, rate, training, interpret,
+              block, use_seg=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    qkv, key_valid, seed = res
     B, S, d3 = qkv.shape
     d = d3 // 3
     seeds = jnp.asarray(seed, jnp.int32).reshape(1)
     sp = _specs(S, d)
-    dqkv = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_kernel, nhead=nhead, rate=rate,
                           training=training, block=block, b_total=B,
-                          interpret=interpret),
+                          interpret=interpret, use_seg=use_seg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(-(-B // _bt(S)),),
@@ -381,7 +404,43 @@ def _bwd_rule(nhead, rate, training, interpret, block, res, g):
         compiler_params=_cparams(S, interpret),
         interpret=interpret,
     )(seeds, qkv, key_valid[:, None, :], g)
+
+
+def _bwd_rule(nhead, rate, training, interpret, block, res, g):
+    qkv, key_valid, seed = res
+    dqkv = _call_bwd(qkv, key_valid, seed, g, nhead, rate, training,
+                     interpret, block)
     return dqkv, None, None
 
 
 attention_packed_qkv.defvjp(_fwd_rule, _bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def attention_packed_seg_qkv(qkv, seg, seed, nhead: int, rate: float = 0.0,
+                             training: bool = False,
+                             interpret: bool = False):
+    """Variable-length packed-row variant (ops/pack.py): seg [B, S] int32
+    segment ids (-1 = padding) replace the fixed block-diagonal structure —
+    token i attends token j iff seg[i] == seg[j] >= 0. Same heads-in-lanes
+    construct (full d-lane contractions — the fix for flash's hd=32
+    lane-padding tax at medium S), same torch dropout semantics. Requires
+    S <= 384 (SP_MAX) and d % 128 == 0."""
+    return _call_fwd(qkv, seg, seed, nhead, rate, training, interpret,
+                     0, use_seg=True)
+
+
+def _seg_fwd_rule(qkv, seg, seed, nhead, rate, training, interpret):
+    o = _call_fwd(qkv, seg, seed, nhead, rate, training, interpret, 0,
+                  use_seg=True)
+    return o, (qkv, seg, seed)
+
+
+def _seg_bwd_rule(nhead, rate, training, interpret, res, g):
+    qkv, seg, seed = res
+    dqkv = _call_bwd(qkv, seg, seed, g, nhead, rate, training, interpret,
+                     0, use_seg=True)
+    return dqkv, None, None
+
+
+attention_packed_seg_qkv.defvjp(_seg_fwd_rule, _seg_bwd_rule)

@@ -251,3 +251,39 @@ def test_packed_flash_route_matches_dense_route():
     gm = np.asarray(b.graph_mask)
     np.testing.assert_allclose(np.asarray(out_flash)[gm],
                                np.asarray(out_dense_seg)[gm], atol=2e-5)
+
+
+def test_packed_seg_fused_kernel_matches_reference():
+    """Heads-in-lanes fused kernel with segment masking (interpret mode) vs
+    the XLA dense-seg reference — fwd + dqkv."""
+    from graphtrans_tpu.nn.transformer import masked_softmax
+    from graphtrans_tpu.ops.pallas.attention_packed import (
+        attention_packed_seg_qkv)
+
+    rng = np.random.default_rng(7)
+    B, S, d, H = 5, 256, 128, 4
+    hd = d // H
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * d)).astype(np.float32))
+    seg = np.where(rng.random((B, S)) < 0.12, -1,
+                   rng.integers(0, 9, (B, S))).astype(np.int32)
+    seg = jnp.asarray(seg)
+    hi = jax.lax.Precision.HIGHEST
+
+    def ref(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hsplit = lambda t: t.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+        q, k, v = hsplit(q), hsplit(k), hsplit(v)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=hi) / np.sqrt(hd)
+        m = ((seg[:, :, None] == seg[:, None, :])
+             & (seg >= 0)[:, None, :])[:, None]
+        p = masked_softmax(s, m)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v, precision=hi)
+        return o.transpose(0, 2, 1, 3).reshape(B, S, d)
+
+    o = attention_packed_seg_qkv(qkv, seg, 0, H, 0.0, False, True)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref(qkv)),
+                               atol=3e-5)
+    g = jax.grad(lambda q: jnp.sum(
+        attention_packed_seg_qkv(q, seg, 0, H, 0.0, False, True) ** 2))(qkv)
+    gr = jax.grad(lambda q: jnp.sum(ref(q) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-4)
