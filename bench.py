@@ -317,7 +317,8 @@ def measure_code2(workload, batch_size, precision, prng, mode, iters,
             "nodes_mean": round(float(nn.mean()), 1),
             "nodes_max": int(nn.max()),
             "graphs_truncated": int((nn > (
-                batch.pack_w - 1 if batch.pack_node is not None else S)).sum()),
+                min(batch.pack_w - 1, 1000) if batch.pack_node is not None
+                else S)).sum()),
             "seq_pack": (None if batch.pack_node is None else {
                 "rows": batch.pack_rows, "w": batch.pack_w,
                 "fill": round(float(

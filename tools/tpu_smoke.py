@@ -182,6 +182,60 @@ def run_all():
     for nm, a, b in zip(("dq", "dk", "dv"), gk, gr):
         ok &= _check(f"flash_{nm}", a, b, 5e-4, results)
 
+    # ---- segment-masked variants (variable-length packed rows, round 5) --
+    from graphtrans_tpu.ops.pallas.attention_packed import (
+        attention_packed_seg_qkv)
+    from graphtrans_tpu.ops.pallas.flash_attention import flash_attention_seg
+
+    seg_np = np.where(rng.random((BH, S)) < 0.1, -1,
+                      rng.integers(0, 37, (BH, S))).astype(np.int32)
+    segj = jnp.asarray(seg_np)
+
+    def flash_seg_ref(q, k, v):
+        hi = jax.lax.Precision.HIGHEST
+        s = jnp.einsum("bqd,bkd->bqk", q, k, precision=hi) / np.sqrt(hd)
+        m = ((segj[:, :, None] == segj[:, None, :])
+             & (segj >= 0)[:, None, :])
+        a = masked_softmax(s, m)
+        return jnp.einsum("bqk,bkd->bqd", a, v, precision=hi)
+
+    got = jax.jit(lambda q, k, v: flash_attention_seg(
+        q, k, v, segj, 0))(q, k, v)
+    ok &= _check("flash_seg_fwd", got, flash_seg_ref(q, k, v), 2e-5, results)
+    gk = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        flash_attention_seg(q, k, v, segj, 0) ** 2),
+        argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(flash_seg_ref(q, k, v) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for nm, a, b in zip(("dq", "dk", "dv"), gk, gr):
+        ok &= _check(f"flash_seg_{nm}", a, b, 5e-4, results)
+
+    B2, S2, H2 = 7, 256, 4
+    qkv = jnp.asarray(rng.standard_normal((B2, S2, 384)).astype(np.float32))
+    seg2 = np.where(rng.random((B2, S2)) < 0.12, -1,
+                    rng.integers(0, 9, (B2, S2))).astype(np.int32)
+    seg2j = jnp.asarray(seg2)
+
+    def pseg_ref(qkv):
+        hi = jax.lax.Precision.HIGHEST
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        sh = lambda t: t.reshape(B2, S2, H2, 32).transpose(0, 2, 1, 3)
+        q, k, v = sh(q), sh(k), sh(v)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=hi) / np.sqrt(32)
+        m = ((seg2j[:, :, None] == seg2j[:, None, :])
+             & (seg2j >= 0)[:, None, :])[:, None]
+        a = masked_softmax(s, m)
+        o = jnp.einsum("bhqk,bhkd->bhqd", a, v, precision=hi)
+        return o.transpose(0, 2, 1, 3).reshape(B2, S2, 128)
+
+    got = jax.jit(lambda qkv: attention_packed_seg_qkv(
+        qkv, seg2j, 0, H2))(qkv)
+    ok &= _check("attn_packed_seg_fwd", got, pseg_ref(qkv), 2e-5, results)
+    gk = jax.jit(jax.grad(lambda qkv: jnp.sum(attention_packed_seg_qkv(
+        qkv, seg2j, 0, H2) ** 2)))(qkv)
+    gr = jax.grad(lambda qkv: jnp.sum(pseg_ref(qkv) ** 2))(qkv)
+    ok &= _check("attn_packed_seg_dqkv", gk, gr, 5e-4, results)
+
     return {"smoke": "tpu_kernels", "device": str(jax.devices()[0]),
             "ok": bool(ok), "checks": results}
 
