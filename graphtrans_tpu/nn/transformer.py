@@ -210,6 +210,28 @@ class MultiheadSelfAttention(nn.Module):
                 out_b = self.param("out_proj_bias", nn.initializers.zeros,
                                    (d,))
                 return y.astype(x.dtype) @ out_w + out_b
+            if ((on_tpu or _FLASH_INTERPRET) and d % 128 == 0 and S > 384
+                    and _ATTN_BACKEND in ("auto", "flash")):
+                # wide packed rows (heavy-tailed datasets, W up to 1024+):
+                # streaming heads-in-lanes kernel — flash's O(S) memory with
+                # attention_packed's full-128-lane operand layout and
+                # combined qkv/dqkv I/O (the per-head flash arm at hd=32
+                # profiled 38 ms/step of 4x-lane-padded DMA + head copies)
+                from ..ops.pallas.flash_hil import flash_hil_seg_qkv
+
+                rate = self.dropout if training else 0.0
+                seed = (
+                    jax.random.randint(self.make_rng("dropout"), (), 0,
+                                       2**31 - 1)
+                    if rate > 0.0 else jnp.zeros((), jnp.int32)
+                )
+                y = flash_hil_seg_qkv(qkv, seg.astype(jnp.int32), seed,
+                                      self.nhead, rate, training,
+                                      _FLASH_INTERPRET)
+                out_w = self.param("out_proj", kaiming_uniform(), (d, d))
+                out_b = self.param("out_proj_bias", nn.initializers.zeros,
+                                   (d,))
+                return y.astype(x.dtype) @ out_w + out_b
             if ((on_tpu or _FLASH_INTERPRET) and S >= 256
                     and _ATTN_BACKEND in ("auto", "flash")):
                 from ..ops.pallas.flash_attention import flash_attention_seg

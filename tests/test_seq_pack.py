@@ -287,3 +287,38 @@ def test_packed_seg_fused_kernel_matches_reference():
         attention_packed_seg_qkv(q, seg, 0, H, 0.0, False, True) ** 2))(qkv)
     gr = jax.grad(lambda q: jnp.sum(ref(q) ** 2))(qkv)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-4)
+
+
+def test_flash_hil_kernel_matches_reference():
+    """Streaming heads-in-lanes seg kernel (interpret) vs the XLA dense-seg
+    reference — fwd + combined dqkv, at a non-BQ-multiple S (padding arm)."""
+    from graphtrans_tpu.nn.transformer import masked_softmax
+    from graphtrans_tpu.ops.pallas.flash_hil import flash_hil_seg_qkv
+
+    rng = np.random.default_rng(9)
+    B, S, d, H = 3, 640, 128, 4
+    hd = d // H
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * d)).astype(np.float32))
+    seg = np.where(rng.random((B, S)) < 0.1, -1,
+                   rng.integers(0, 13, (B, S))).astype(np.int32)
+    seg = jnp.asarray(seg)
+    hi = jax.lax.Precision.HIGHEST
+
+    def ref(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        sh = lambda t: t.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+        q, k, v = sh(q), sh(k), sh(v)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=hi) / np.sqrt(hd)
+        m = ((seg[:, :, None] == seg[:, None, :])
+             & (seg >= 0)[:, None, :])[:, None]
+        o = jnp.einsum("bhqk,bhkd->bhqd", masked_softmax(s, m), v,
+                       precision=hi)
+        return o.transpose(0, 2, 1, 3).reshape(B, S, d)
+
+    o = flash_hil_seg_qkv(qkv, seg, 0, H, 0.0, False, True)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref(qkv)),
+                               atol=3e-5)
+    g = jax.grad(lambda q: jnp.sum(
+        flash_hil_seg_qkv(q, seg, 0, H, 0.0, False, True) ** 2))(qkv)
+    gr = jax.grad(lambda q: jnp.sum(ref(q) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=3e-4)

@@ -236,6 +236,34 @@ def run_all():
     gr = jax.grad(lambda qkv: jnp.sum(pseg_ref(qkv) ** 2))(qkv)
     ok &= _check("attn_packed_seg_dqkv", gk, gr, 5e-4, results)
 
+    # ---- streaming heads-in-lanes seg attention (wide packed rows) -------
+    from graphtrans_tpu.ops.pallas.flash_hil import flash_hil_seg_qkv
+
+    B3, S3, H3 = 3, 1024, 4
+    qkv3 = jnp.asarray(rng.standard_normal((B3, S3, 384)).astype(np.float32))
+    seg3 = np.where(rng.random((B3, S3)) < 0.1, -1,
+                    rng.integers(0, 29, (B3, S3))).astype(np.int32)
+    seg3j = jnp.asarray(seg3)
+
+    def hil_ref(qkv):
+        hi = jax.lax.Precision.HIGHEST
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        sh = lambda t: t.reshape(B3, S3, H3, 32).transpose(0, 2, 1, 3)
+        q, k, v = sh(q), sh(k), sh(v)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=hi) / np.sqrt(32)
+        m = ((seg3j[:, :, None] == seg3j[:, None, :])
+             & (seg3j >= 0)[:, None, :])[:, None]
+        a = masked_softmax(s, m)
+        o = jnp.einsum("bhqk,bhkd->bhqd", a, v, precision=hi)
+        return o.transpose(0, 2, 1, 3).reshape(B3, S3, 128)
+
+    got = jax.jit(lambda qkv: flash_hil_seg_qkv(qkv, seg3j, 0, H3))(qkv3)
+    ok &= _check("flash_hil_fwd", got, hil_ref(qkv3), 2e-5, results)
+    gk = jax.jit(jax.grad(lambda qkv: jnp.sum(flash_hil_seg_qkv(
+        qkv, seg3j, 0, H3) ** 2)))(qkv3)
+    gr = jax.grad(lambda qkv: jnp.sum(hil_ref(qkv) ** 2))(qkv3)
+    ok &= _check("flash_hil_dqkv", gk, gr, 5e-4, results)
+
     return {"smoke": "tpu_kernels", "device": str(jax.devices()[0]),
             "ok": bool(ok), "checks": results}
 
