@@ -446,13 +446,19 @@ def main():
     # (the round driver captures exactly one JSON line)
     workloads = {}
     if not args.skip_extra_workloads:
+        # heavy-tailed (honest, the headline shape) AND uniform (round-4
+        # continuity) arms both ride in the round artifact
         for wl in ("code2", "code2_pna"):
-            try:
-                workloads[wl] = measure_code2(
-                    wl, args.batch_size, args.precision, args.prng, "train",
-                    max(args.iters // 2, 4), size_dist=args.code2_sizes)
-            except Exception as e:  # never lose the headline to a side arm
-                workloads[wl] = {"error": repr(e)}
+            for dist in (args.code2_sizes, "uniform"):
+                key = wl if dist == args.code2_sizes else f"{wl}_{dist}"
+                if key in workloads:
+                    continue
+                try:
+                    workloads[key] = measure_code2(
+                        wl, args.batch_size, args.precision, args.prng,
+                        "train", max(args.iters // 2, 4), size_dist=dist)
+                except Exception as e:  # never lose the headline to a side arm
+                    workloads[key] = {"error": repr(e)}
 
     # chip-side kernel exactness smoke (tools/tpu_smoke.py): every benched
     # build re-proves the compiled Mosaic kernels against XLA references so

@@ -126,6 +126,12 @@ def build_parser():
                             "for flat layouts incl. DP shard stacking "
                             "(pinned dataset-wide caps); gated off only "
                             "under hybrid partitioning / dense layout")
+    group.add_argument("--ell_explicit", action="store_true", default=False,
+                       help="ship host-built explicit ELL plans for PNA "
+                            "instead of deriving them on device (~6 ms/step "
+                            "cheaper on-chip but ~2x the batch H2D bytes — "
+                            "measured 1.26x SLOWER e2e on this tunnel-bound "
+                            "host; enable on hosts with fast PCIe feeds)")
     group.add_argument("--seq_pack", type=str, default="auto",
                        choices=["auto", "on", "off"],
                        help="variable-length sequence packing for the "
@@ -242,10 +248,15 @@ def make_loaders(bundle, args, num_shards=1, process_count=1, process_index=0):
         # bench arm (120.0 vs 117.9 at sampled epoch-wide slot budgets —
         # a wash at code2 shapes; see tools/tunnel_epoch_ab.py)
         scatter_free=getattr(args, "scatter_free", "auto") != "off",
-        # PNA (need_deg) consumes the ELL reducers every layer: ship the
-        # explicit ELL plans from the host instead of paying two [N*K, W]
-        # row gathers per step to derive them
-        ell_explicit=bool(getattr(args, "_model_need_deg", False)),
+        # PNA (need_deg) consumes the ELL reducers every layer. Deriving
+        # them on device costs ~6 ms/step in row gathers, but shipping the
+        # explicit plans DOUBLES the batch's host->device bytes — measured
+        # e2e (tools/tunnel_epoch_ab.py --workload pna, heavy-tail bs=512):
+        # device-derived 1.48 s/epoch vs explicit 1.87 (1.26x), 13.1 vs
+        # 25.7 MB/batch. Default derive-on-device; --ell_explicit opts back
+        # in for hosts whose H2D is not the bottleneck.
+        ell_explicit=(bool(getattr(args, "_model_need_deg", False))
+                      and getattr(args, "ell_explicit", False)),
         # variable-length sequence packing for the transformer stage
         seq_pack=resolve_seq_pack(args, max_n_all),
     )
