@@ -322,3 +322,68 @@ def test_flash_hil_kernel_matches_reference():
         flash_hil_seg_qkv(q, seg, 0, H, 0.0, False, True) ** 2))(qkv)
     gr = jax.grad(lambda q: jnp.sum(ref(q) ** 2))(qkv)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=3e-4)
+
+
+def test_dp_step_with_packed_batches_matches_dense():
+    """shard_map DP over stacked batches carrying pack fields (pinned row
+    caps): the packed transformer route under DP produces the same loss
+    and gradients as the dense route on the identical stacked batch with
+    the pack fields stripped — layout only, no numerics."""
+    from graphtrans_tpu.data.loader import GraphLoader
+    from graphtrans_tpu.data.synthetic import make_code_dataset
+    from graphtrans_tpu.data.vocab import augment_edge
+    from graphtrans_tpu.models import MODELS
+    from graphtrans_tpu.nn.encoders import LinearEdgeEncoder, LinearNodeEncoder
+    from graphtrans_tpu.parallel.dp import make_dp_train_step
+    from graphtrans_tpu.train import losses
+    from graphtrans_tpu.train.optim import build_optimizer
+    from graphtrans_tpu.train.state import TrainState
+    from graphtrans_tpu.trainers import TRAINER_REGISTRY
+
+    raw = make_code_dataset(num_graphs=32, min_nodes=8, max_nodes=40, seed=6)
+    graphs = []
+    for g in raw:
+        g = augment_edge(g)
+        g["x"] = np.eye(16, dtype=np.float32)[np.asarray(g["x"][:, 0]) % 16]
+        g["y"] = np.asarray([int(g["x"].shape[0]) % 2])
+        graphs.append(g)
+    loader = GraphLoader(graphs, batch_size=16, shuffle=False, seed=0,
+                         num_shards=2, seq_pack=True, use_native=False)
+    stacked = next(iter(loader))
+    assert stacked.pack_node is not None
+    assert stacked.pack_node.shape[0] == 2  # leading shard axis
+    stripped = loader._strip_pack(
+        jax.tree_util.tree_map(lambda x: x, stacked))
+
+    hp = _hp(gnn_type="gcn", gnn_virtual_node=True, gnn_JK="cat",
+             gnn_num_layer=2, num_encoder_layers=1)
+    hp.bn_axis_name = "data"
+    hp.scheduler = "cosine"
+    # small lr: Adam's sqrt(v)-normalization turns f32-reassociation grad
+    # noise (the two layouts sum attention in different orders) into O(lr)
+    # parameter deltas — the loss/grad math itself is identical
+    hp.lr = hp.max_lr = 1e-4
+    hp.pct_start, hp.weight_decay, hp.grad_clip = 0.3, 0.0, 1.0
+    hp.epochs, hp.batch_size = 4, 16
+    model = MODELS["gnn-transformer"].build(
+        2, hp, LinearNodeEncoder(hp.gnn_emb_dim),
+        lambda e: LinearEdgeEncoder(e))
+    one = jax.tree_util.tree_map(lambda x: x[0], stacked)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        one, None, False)
+    tx, _ = build_optimizer(hp, 10)
+    s0 = TrainState.create(variables["params"],
+                           variables.get("batch_stats", {}),
+                           tx.init(variables["params"]))
+    trainer = TRAINER_REGISTRY["baseline"]
+    step_dp = make_dp_train_step(trainer, model,
+                                 losses.classification_loss, tx, hp,
+                                 "gnn_node", 2, donate=False)
+    s_pack, loss_pack = step_dp(s0, stacked, jax.random.key(9))
+    s_dense, loss_dense = step_dp(s0, stripped, jax.random.key(9))
+    np.testing.assert_allclose(float(loss_pack), float(loss_dense),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_pack.params),
+                    jax.tree.leaves(s_dense.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
