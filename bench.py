@@ -139,16 +139,19 @@ def build_code2(batch_size=512, emb=300, seed=0, precision="bf16",
     # for heavy-tailed datasets — packs each graph's kept nodes + CLS into
     # [R, W] rows with segment-masked attention instead of padding every
     # graph to the dataset max (which OOMs at bs=512 and pads ~8x)
-    pack_w = 0
+    pack_w = pack_w2 = 0
     if seq_pack:
         from graphtrans_tpu.data.batch import bucket_size
         max_keep = min(max(g["x"].shape[0] for g in graphs), 1000)
         pack_w = bucket_size(max_keep + 1, 128)
+        # two-tier: small graphs in narrow rows (attention ~ sum W_r^2);
+        # single-tier when everything already fits the fused kernel's W
+        pack_w2 = 256 if pack_w > 384 else 0
     batch = collate(graphs, batch_size + 1, caps[0], caps[1],
                     num_tasks=len(vocab2idx), max_seq_len=5,
                     y_dtype="int32", scatter_free=True,
                     ell_explicit=(model == "pna-transformer"),
-                    seq_pack_w=pack_w)
+                    seq_pack_w=pack_w, seq_pack_w2=pack_w2)
     deg = None
     if model == "pna-transformer":
         # reference PNA code2 config (configs/code2/pna-transformer/
@@ -324,6 +327,10 @@ def measure_code2(workload, batch_size, precision, prng, mode, iters,
                 "fill": round(float(
                     (np.asarray(batch.pack_seg) >= 0).mean()), 3),
                 "tokens": int((np.asarray(batch.pack_seg) >= 0).sum()),
+                "tier2": (None if batch.pack2_node is None else {
+                    "rows": batch.pack2_rows, "w": batch.pack2_w,
+                    "tokens": int(
+                        (np.asarray(batch.pack2_seg) >= 0).sum())}),
                 "dense_tokens_equiv": int(np.asarray(
                     batch.graph_mask).shape[0]) * (S + 1),
             }),

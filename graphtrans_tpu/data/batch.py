@@ -124,12 +124,20 @@ class GraphBatch:
     pack_seg: Any = None            # [R*W] i32 graph id per slot (-1 = pad)
     pack_cls_slot: Any = None       # [G] i32 CLS readout slot per graph
     pack_inv: Any = None            # [N] i32 node -> slot (R*W = absent)
+    # second (small-graph) tier: graphs with <= pack2_w tokens pack into
+    # narrower rows (attention cost ~ sum_rows W_r^2) — pack_cls_slot then
+    # indexes the virtual concat [R*W + R2*W2)
+    pack2_node: Any = None          # [R2*W2] i32
+    pack2_seg: Any = None           # [R2*W2] i32
+    pack2_inv: Any = None           # [N] i32 node -> tier-2 slot
 
     # --- static metadata (aux_data, not traced) ---
     max_nodes_dense: int = dataclasses.field(default=0, metadata=dict(static=True))
     node_stride: int = dataclasses.field(default=0, metadata=dict(static=True))
     pack_w: int = dataclasses.field(default=0, metadata=dict(static=True))
     pack_rows: int = dataclasses.field(default=0, metadata=dict(static=True))
+    pack2_w: int = dataclasses.field(default=0, metadata=dict(static=True))
+    pack2_rows: int = dataclasses.field(default=0, metadata=dict(static=True))
     sfa_nb: int = dataclasses.field(default=0, metadata=dict(static=True))
     sfa_eb: int = dataclasses.field(default=0, metadata=dict(static=True))
     sfa_pool_eb: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -194,6 +202,8 @@ def collate(
     ell_explicit: bool = False,
     seq_pack_w: int = 0,
     seq_pack_rows: int = 0,
+    seq_pack_w2: int = 0,
+    seq_pack_rows2: int = 0,
 ) -> GraphBatch:
     """Assemble a list of host-side graph dicts into one padded GraphBatch.
 
@@ -388,11 +398,17 @@ def collate(
     # pack=None and the caller splits or falls back to the dense path
     pack = None
     if seq_pack_w > 0 and node_stride == 0:
-        from ..ops.pack import build_pack_fields
+        from ..ops.pack import build_pack_fields, build_pack_fields_two_tier
 
-        pack = build_pack_fields(num_nodes, graph_mask, node_offsets, N,
-                                 seq_pack_w, max_input_len,
-                                 rows_cap=seq_pack_rows)
+        if seq_pack_w2 > 0 and seq_pack_w2 < seq_pack_w:
+            pack = build_pack_fields_two_tier(
+                num_nodes, graph_mask, node_offsets, N, seq_pack_w,
+                seq_pack_w2, max_input_len, rows_cap=seq_pack_rows,
+                rows2_cap=seq_pack_rows2)
+        else:
+            pack = build_pack_fields(num_nodes, graph_mask, node_offsets, N,
+                                     seq_pack_w, max_input_len,
+                                     rows_cap=seq_pack_rows)
 
     dense_adj = None
     if with_dense_adj:

@@ -104,7 +104,12 @@ class GraphLoader:
         # for sharded stacking to keep one tree shape).
         self.seq_pack = (seq_pack and not dense_layout and hybrid_shards <= 1
                          and not with_dense_adj)
-        self._pack_rows_cap = pack_rows_cap if pack_rows_cap > 0 else None
+        # normalized to a (tier1, tier2) tuple; int pins tier 1 only
+        if isinstance(pack_rows_cap, tuple):
+            self._pack_rows_cap = pack_rows_cap
+        else:
+            self._pack_rows_cap = ((pack_rows_cap, 0)
+                                   if pack_rows_cap > 0 else None)
         self.graphs = [dict(g, _id=i) for i, g in enumerate(graphs)]
         # size table for the vectorized planning pass (numpy cumsum per
         # batch instead of a Python loop over every graph every epoch)
@@ -139,8 +144,11 @@ class GraphLoader:
         # per epoch, and shard batches stay stackable
         max_n = max((int(g["x"].shape[0]) for g in self.graphs), default=1)
         self.dense_cap = min(bucket_size(max_n, 16), max_input_len)
-        # pack width: the largest kept graph + its CLS token, lane-bucketed
+        # pack width: the largest kept graph + its CLS token, lane-bucketed;
+        # heavy-tailed datasets (wide rows) get a second narrow tier for
+        # small graphs (attention cost ~ sum_rows W_r^2)
         self.pack_w = bucket_size(min(max_n, max_input_len) + 1, 128)
+        self.pack_w2 = 256 if self.pack_w > 384 else 0
 
         # strided (dense) node layout: graph i owns rows [i*stride, ...) so
         # aggregation runs scatter-free as one-hot matmuls (ops/dense_mp.py).
@@ -321,23 +329,32 @@ class GraphLoader:
         return dataclasses.replace(batch, **fields)
 
     def _sample_pack_rows(self, samples: int = 4, plans_per: int = 16):
-        """Empirical pack-row budget: run the real packer over a few shuffled
-        epochs' batch plans and take the max rows (+10%, bucketed). Same
-        philosophy as the sfa slot budgets — cover the TYPICAL batch
-        tightly; the rare overflow splits (single consumers) or strips the
-        pack fields for that shard group (stacked consumers)."""
+        """Empirical pack-row budgets (both tiers): run the real packer over
+        a few shuffled epochs' batch plans and take the max rows (+10%,
+        bucketed). Same philosophy as the sfa slot budgets — cover the
+        TYPICAL batch tightly; the rare overflow splits (single consumers)
+        or strips the pack fields for that shard group (stacked
+        consumers)."""
         from ..ops.pack import plan_seq_pack
 
         max_keep = min(self.pack_w - 1, self.max_input_len)
-        need = 1
+        need = need2 = 1
         for s in range(samples):
             order = np.arange(len(self.graphs))
             np.random.default_rng(self.seed + 104729 * (s + 1)).shuffle(order)
             for plan in self._plan_chunks(order)[:plans_per]:
                 tokens = np.minimum(self._sizes_n[plan], max_keep) + 1
-                need = max(need, plan_seq_pack(tokens, self.pack_w)[0])
+                if self.pack_w2 > 0:
+                    small = tokens <= self.pack_w2
+                    need = max(need,
+                               plan_seq_pack(tokens[~small], self.pack_w)[0])
+                    need2 = max(need2, plan_seq_pack(tokens[small],
+                                                     self.pack_w2)[0])
+                else:
+                    need = max(need, plan_seq_pack(tokens, self.pack_w)[0])
         slack = 1.1 if self._sfa_split_ok else 1.25
-        return -(-int(need * slack + 1) // 4) * 4
+        rup = lambda x: -(-int(x * slack + 1) // 4) * 4
+        return rup(need), (rup(need2) if self.pack_w2 > 0 else 0)
 
     def _attach_pack(self, batch):
         if not self.seq_pack or batch is None or batch.node_stride > 0:
@@ -348,12 +365,22 @@ class GraphLoader:
 
         if self._pack_rows_cap is None:
             self._pack_rows_cap = self._sample_pack_rows()
+        cap1, cap2 = self._pack_rows_cap
         nn_ = np.asarray(batch.num_nodes, np.int64)
         offs = np.zeros(len(nn_), np.int64)
         np.cumsum(nn_[:-1], out=offs[1:])
-        fields = build_pack_fields(
-            nn_, np.asarray(batch.graph_mask), offs, batch.num_node_slots,
-            self.pack_w, self.max_input_len, rows_cap=self._pack_rows_cap)
+        if self.pack_w2 > 0:
+            from ..ops.pack import build_pack_fields_two_tier
+
+            fields = build_pack_fields_two_tier(
+                nn_, np.asarray(batch.graph_mask), offs,
+                batch.num_node_slots, self.pack_w, self.pack_w2,
+                self.max_input_len, rows_cap=cap1, rows2_cap=cap2)
+        else:
+            fields = build_pack_fields(
+                nn_, np.asarray(batch.graph_mask), offs,
+                batch.num_node_slots, self.pack_w, self.max_input_len,
+                rows_cap=cap1)
         if fields is None:
             return batch  # caller splits (single consumer) or strips (group)
         return dataclasses.replace(batch, **fields)
@@ -366,7 +393,9 @@ class GraphLoader:
             return batch
         return dataclasses.replace(
             batch, pack_node=None, pack_seg=None, pack_cls_slot=None,
-            pack_inv=None, pack_w=0, pack_rows=0)
+            pack_inv=None, pack_w=0, pack_rows=0,
+            pack2_node=None, pack2_seg=None, pack2_inv=None,
+            pack2_w=0, pack2_rows=0)
 
     def _collate_one(self, plan):
         if self.packed is not None:

@@ -38,17 +38,29 @@ def packed_transformer_stage(encoder, h_node, batch, training: bool):
     CLS), same post-norm layer semantics."""
     from ..ops.pack import pack_gather
 
-    R, W = batch.pack_rows, batch.pack_w
     d = h_node.shape[-1]
+    N = h_node.shape[0]
     src = jnp.concatenate(
         [h_node, jnp.zeros((1, d), h_node.dtype)], axis=0)
-    dense = pack_gather(src, batch.pack_node, batch.pack_inv)
-    dense = dense.reshape(R, W, d)
-    seg = batch.pack_seg.reshape(R, W)
-    valid = seg >= 0
-    cls_mask = valid & (batch.pack_node.reshape(R, W) == h_node.shape[0])
-    out, _ = encoder(dense, valid, training, seg=seg, cls_mask=cls_mask)
-    return out.reshape(R * W, d)[batch.pack_cls_slot]
+
+    def run_tier(pack_node, pack_inv, pack_seg, R, W):
+        dense = pack_gather(src, pack_node, pack_inv).reshape(R, W, d)
+        seg = pack_seg.reshape(R, W)
+        valid = seg >= 0
+        cls_mask = valid & (pack_node.reshape(R, W) == N)
+        out, _ = encoder(dense, valid, training, seg=seg, cls_mask=cls_mask)
+        return out.reshape(R * W, d)
+
+    flat = run_tier(batch.pack_node, batch.pack_inv, batch.pack_seg,
+                    batch.pack_rows, batch.pack_w)
+    if batch.pack2_node is not None:
+        # two-tier packing: small graphs run in narrow rows (attention cost
+        # ~ sum_rows W_r^2); the shared-parameter encoder runs once per
+        # tier and pack_cls_slot indexes the virtual concat
+        flat2 = run_tier(batch.pack2_node, batch.pack2_inv, batch.pack2_seg,
+                         batch.pack2_rows, batch.pack2_w)
+        flat = jnp.concatenate([flat, flat2], axis=0)
+    return flat[batch.pack_cls_slot]
 
 
 def use_seq_pack(batch, graph_pooling: str, num_encoder_layers: int,

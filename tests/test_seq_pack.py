@@ -387,3 +387,80 @@ def test_dp_step_with_packed_batches_matches_dense():
     for a, b in zip(jax.tree.leaves(s_pack.params),
                     jax.tree.leaves(s_dense.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_two_tier_packed_model_matches_dense():
+    """Two-tier packing (big graphs in wide rows, small in narrow) must be
+    numerically identical to the dense path — same readout, same grads."""
+    from graphtrans_tpu.models import MODELS
+    from graphtrans_tpu.nn.encoders import LinearNodeEncoder, ZeroEdgeEncoder
+
+    graphs = make_tu_dataset(num_graphs=24, num_node_labels=16,
+                             min_nodes=8, max_nodes=200, seed=12)
+    hp = _hp()
+    model = MODELS["gnn-transformer"].build(2, hp, LinearNodeEncoder(64),
+                                            ZeroEdgeEncoder)
+    kw = dict(num_tasks=2, y_dtype="int32")
+    b_dense = collate(graphs, 25, 4096, 16384, **kw)
+    b_two = collate(graphs, 25, 4096, 16384, seq_pack_w=256,
+                    seq_pack_w2=128, **kw)
+    assert b_two.pack2_node is not None and b_two.pack2_rows > 0
+    v = model.init({"params": jax.random.key(0),
+                    "dropout": jax.random.key(1)}, b_two, None, False)
+    out_p = model.apply(v, b_two, None, False)
+    out_d = model.apply(v, b_dense, None, False)
+    gm = np.asarray(b_dense.graph_mask)
+    np.testing.assert_allclose(np.asarray(out_p)[gm], np.asarray(out_d)[gm],
+                               atol=2e-5)
+
+    def loss(p, b):
+        o = model.apply({"params": p, "batch_stats": v["batch_stats"]},
+                        b, None, False)
+        return jnp.sum(jnp.where(gm[:, None], o, 0.0) ** 2)
+
+    gp = jax.grad(loss)(v["params"], b_two)
+    gd = jax.grad(loss)(v["params"], b_dense)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gd)):
+        np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_two_tier_loader_fields_cover_every_graph():
+    """Loader-built two-tier packs: every valid node appears in exactly one
+    tier; CLS slots index the virtual concat and land in the owning tier."""
+    from graphtrans_tpu.data.loader import GraphLoader
+    from graphtrans_tpu.data.synthetic import make_code_dataset
+    from graphtrans_tpu.data.vocab import augment_edge
+
+    raw = make_code_dataset(num_graphs=80, size_dist="code2", seed=2)
+    graphs = []
+    for g in raw:
+        g = augment_edge(g)
+        g["y"] = np.asarray([0])
+        graphs.append(g)
+    ld = GraphLoader(graphs, 32, shuffle=False, num_tasks=2,
+                     y_dtype="int32", seq_pack=True, use_native=False)
+    b = next(iter(ld))
+    assert b.pack2_node is not None
+    N = b.num_node_slots
+    off = b.pack_rows * b.pack_w
+    pn1, pn2 = np.asarray(b.pack_node), np.asarray(b.pack2_node)
+    in1 = np.asarray(b.pack_inv) < off
+    in2 = np.asarray(b.pack2_inv) < b.pack2_rows * b.pack2_w
+    nm = np.asarray(b.node_mask)
+    max_keep = min(b.pack_w - 1, 1000)
+    nn_ = np.asarray(b.num_nodes)
+    # every valid, non-truncated node in exactly one tier
+    assert not np.any(in1 & in2)
+    kept = int(np.minimum(nn_, max_keep).sum())
+    assert int(in1.sum() + in2.sum()) == kept
+    # cls slots: small graphs' land in tier 2's range
+    gm = np.asarray(b.graph_mask)
+    cls = np.asarray(b.pack_cls_slot)[gm]
+    small = (nn_[gm] + 1) <= b.pack2_w
+    assert np.all(cls[small] >= off)
+    assert np.all(cls[~small] < off)
+    # the slot really is the graph's own CLS (seg matches, gathers zero row)
+    seg2 = np.asarray(b.pack2_seg)
+    for gi, c in zip(np.nonzero(gm)[0], cls):
+        if c >= off:
+            assert seg2[c - off] == gi and pn2[c - off] == N
