@@ -396,8 +396,12 @@ def collate(
     # variable-length sequence packing for the transformer stage
     # (ops/pack.py): flat layout only; overflow of a pinned row cap yields
     # pack=None and the caller splits or falls back to the dense path
+    # works for BOTH layouts: in the strided layout node_offsets[i] =
+    # i*stride and the stride never truncates (max_keep covers it), so the
+    # transformer stage can pack (~2x fewer tokens than stride padding)
+    # while aggregation keeps the strided one-hot route
     pack = None
-    if seq_pack_w > 0 and node_stride == 0:
+    if seq_pack_w > 0:
         from ..ops.pack import build_pack_fields, build_pack_fields_two_tier
 
         if seq_pack_w2 > 0 and seq_pack_w2 < seq_pack_w:

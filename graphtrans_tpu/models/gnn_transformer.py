@@ -71,8 +71,7 @@ def use_seq_pack(batch, graph_pooling: str, num_encoder_layers: int,
     non-CLS readouts keep the dense path."""
     return (batch.pack_node is not None and graph_pooling == "cls"
             and num_encoder_layers > 0 and num_encoder_layers_masked == 0
-            and not pos_encoder and sp_axis is None
-            and batch.node_stride == 0)
+            and not pos_encoder and sp_axis is None)
 
 
 def dense_pool(out, valid, num_nodes, pooling: str, use_cls: bool, max_len: int):

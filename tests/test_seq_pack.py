@@ -464,3 +464,21 @@ def test_two_tier_loader_fields_cover_every_graph():
     for gi, c in zip(np.nonzero(gm)[0], cls):
         if c >= off:
             assert seg2[c - off] == gi and pn2[c - off] == N
+
+
+def test_strided_layout_with_packed_transformer_matches():
+    """The strided (mol) layout can keep its one-hot aggregation while the
+    transformer stage runs packed rows — outputs must match the strided
+    dense path exactly."""
+    import bench
+
+    s0, _, b0, model = bench.build(batch_size=24, precision="f32",
+                                   layout="dense", want_model=True)
+    _, _, b1 = bench.build(batch_size=24, precision="f32", layout="dense",
+                           seq_pack=True)
+    assert b1.pack_node is not None and b1.node_stride > 0
+    v = {"params": s0.params, "batch_stats": s0.batch_stats}
+    o0 = np.asarray(model.apply(v, b0, None, False))
+    o1 = np.asarray(model.apply(v, b1, None, False))
+    gm = np.asarray(b0.graph_mask)
+    np.testing.assert_allclose(o1[gm], o0[gm], atol=2e-5)
