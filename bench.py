@@ -47,7 +47,7 @@ def naive_gather_message_scatter(x, edge_emb, edge_src, edge_dst, edge_mask,
 
 
 def build(batch_size=256, nodes_per=26, emb=256, seed=0, precision="f32",
-          layout="dense", want_model=False, seq_pack=False):
+          layout="dense", want_model=False, seq_pack=True):
     from graphtrans_tpu.data.batch import collate
     from graphtrans_tpu.data.loader import dataset_caps
     from graphtrans_tpu.data.synthetic import make_mol_dataset
@@ -71,9 +71,10 @@ def build(batch_size=256, nodes_per=26, emb=256, seed=0, precision="f32",
 
         stride = bucket_size(max(g["x"].shape[0] for g in graphs), 16)
         em = bucket_size(max(g["edge_index"].shape[1] for g in graphs), 8)
-        # seq_pack: keep the strided one-hot aggregation but run the
-        # transformer stage on variable-length packed rows (~2x fewer
-        # tokens than stride padding) — A/B arm for the mol flagship
+        # production default: keep the strided one-hot aggregation but run
+        # the transformer stage on variable-length packed rows (~2x fewer
+        # tokens than stride padding) — measured 56.5 -> 51.7 ms on the
+        # mol flagship; seq_pack=False restores the gb-packed dense arm
         pw = bucket_size(stride + 1, 128) if seq_pack else 0
         batch = collate(graphs, batch_size + 1, (batch_size + 1) * stride,
                         caps[1], num_tasks=128, y_dtype="float32",

@@ -102,7 +102,10 @@ class GraphLoader:
         # (ops/pack.py): flat layout only. Row budget is sampled from the
         # real packer lazily (pack_rows_cap pins it explicitly — required
         # for sharded stacking to keep one tree shape).
-        self.seq_pack = (seq_pack and not dense_layout and hybrid_shards <= 1
+        # both layouts pack: the strided (mol) layout keeps its one-hot
+        # aggregation and only the transformer stage changes (measured
+        # 56.5 -> 51.7 ms on the flagship step)
+        self.seq_pack = (seq_pack and hybrid_shards <= 1
                          and not with_dense_adj)
         # normalized to a (tier1, tier2) tuple; int pins tier 1 only
         if isinstance(pack_rows_cap, tuple):
@@ -357,7 +360,7 @@ class GraphLoader:
         return rup(need), (rup(need2) if self.pack_w2 > 0 else 0)
 
     def _attach_pack(self, batch):
-        if not self.seq_pack or batch is None or batch.node_stride > 0:
+        if not self.seq_pack or batch is None:
             return batch
         import dataclasses
 
@@ -367,8 +370,11 @@ class GraphLoader:
             self._pack_rows_cap = self._sample_pack_rows()
         cap1, cap2 = self._pack_rows_cap
         nn_ = np.asarray(batch.num_nodes, np.int64)
-        offs = np.zeros(len(nn_), np.int64)
-        np.cumsum(nn_[:-1], out=offs[1:])
+        if batch.node_stride > 0:
+            offs = np.arange(len(nn_), dtype=np.int64) * batch.node_stride
+        else:
+            offs = np.zeros(len(nn_), np.int64)
+            np.cumsum(nn_[:-1], out=offs[1:])
         if self.pack_w2 > 0:
             from ..ops.pack import build_pack_fields_two_tier
 

@@ -208,18 +208,22 @@ def resolve_seq_pack(args, max_n: int) -> bool:
                 and getattr(args, "num_encoder_layers", 0) > 0
                 and getattr(args, "num_encoder_layers_masked", 0) == 0
                 and not getattr(args, "pos_encoder", False)
-                and not getattr(args, "use_dense_layout", False)
                 and getattr(args, "hybrid_shards", 1) == 1
                 and getattr(args, "sp_axis", None) is None)
     if mode == "on":
         if not eligible:
             logger.warning("--seq_pack on requested but the composition "
                            "cannot pack (non-CLS pooling, masked/positional "
-                           "encoder, dense layout, hybrid or sp) — off")
+                           "encoder, hybrid or sp) — off")
         return eligible
     from graphtrans_tpu.data.batch import bucket_size
 
     max_input_len = int(getattr(args, "max_input_len", 1000))
+    # auto: always on for the strided layout (transformer tokens drop ~2x,
+    # measured 56.5 -> 51.7 ms on the mol flagship); for the flat layout
+    # only where the dense width is wide enough to matter
+    if getattr(args, "use_dense_layout", False):
+        return eligible
     return eligible and bucket_size(min(max_n, max_input_len) + 1, 128) >= 256
 
 
