@@ -52,7 +52,7 @@ class TransformerModule(nn.Module):
         else:
             h = self.node_encoder(batch.node_feat)
         if perturb is not None:
-            h = h + perturb
+            h = h + perturb.astype(h.dtype)
         h = jnp.where(batch.node_mask[:, None], h, 0)
 
         S = min(batch.max_nodes_dense, self.max_input_len)

@@ -91,7 +91,7 @@ class TransformerGNNModule(nn.Module):
         else:
             h = self.node_encoder(batch.node_feat)
         if perturb is not None:
-            h = h + perturb
+            h = h + perturb.astype(h.dtype)
         if self.graph_input_dim is not None:
             h = self.input2transformer(h)
         h = jnp.where(batch.node_mask[:, None], h, 0)

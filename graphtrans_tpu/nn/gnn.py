@@ -111,7 +111,11 @@ class GNNNodeEmbedding(nn.Module):
         else:
             h = self.node_encoder(batch.node_feat)
         if perturb is not None:
-            h = h + perturb
+            # cast to the compute dtype HERE: FLAG's f32 perturb would
+            # otherwise promote the whole GNN stack (and the fused-tables
+            # kernel's operands — Mosaic rejects the mixed-dtype dot) back
+            # to f32 under --precision bf16. sign(grad) is dtype-robust.
+            h = h + perturb.astype(h.dtype)
         return jnp.where(batch.node_mask[:, None], h, 0)
 
     def __call__(self, batch, perturb=None, training: bool = False):

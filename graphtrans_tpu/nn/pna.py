@@ -272,7 +272,8 @@ class PNANodeEmbedding(nn.Module):
         else:
             x = self.node_encoder(batch.node_feat)
         if perturb is not None:
-            x = x + perturb
+            # compute-dtype cast (see nn/gnn.py — FLAG mixed-precision leak)
+            x = x + perturb.astype(x.dtype)
         x = jnp.where(batch.node_mask[:, None], x, 0)
 
         for conv, bn in zip(self.layers, self.batch_norms):
