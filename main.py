@@ -125,7 +125,12 @@ def build_parser():
                             "scatter-adds (ops/scatter_free.py); auto = on "
                             "for flat layouts incl. DP shard stacking "
                             "(pinned dataset-wide caps); gated off only "
-                            "under hybrid partitioning / dense layout")
+                            "under hybrid partitioning / dense layout. "
+                            "NOTE: the plans add ~7 MB/batch H2D — "
+                            "negligible on a PCIe-fed host (<0.5 ms), but "
+                            "on a slow host link (this image's tunnel: "
+                            "segment measured 1.24x faster e2e at the "
+                            "round-5 step times) prefer 'off'")
     group.add_argument("--ell_explicit", action="store_true", default=False,
                        help="ship host-built explicit ELL plans for PNA "
                             "instead of deriving them on device (~6 ms/step "
