@@ -152,7 +152,7 @@ def build_code2(batch_size=512, emb=300, seed=0, precision="bf16",
         pack_w = bucket_size(max_keep + 1, 128)
         # two-tier: small graphs in narrow rows (attention ~ sum W_r^2);
         # single-tier when everything already fits the fused kernel's W
-        pack_w2 = 256 if pack_w > 384 else 0
+        pack_w2 = 384 if pack_w > 384 else 0  # measured 71.0 vs 73.3 ms at 256
     batch = collate(graphs, batch_size + 1, caps[0], caps[1],
                     num_tasks=len(vocab2idx), max_seq_len=5,
                     y_dtype="int32", scatter_free=True,

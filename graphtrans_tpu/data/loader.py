@@ -151,7 +151,10 @@ class GraphLoader:
         # heavy-tailed datasets (wide rows) get a second narrow tier for
         # small graphs (attention cost ~ sum_rows W_r^2)
         self.pack_w = bucket_size(min(max_n, max_input_len) + 1, 128)
-        self.pack_w2 = 256 if self.pack_w > 384 else 0
+        # 384 = the fused seg kernel's SP_MAX: more tokens ride the
+        # efficient medium-S kernel and fewer wide flash_hil rows remain
+        # (measured 71.0 vs 73.3 ms at W2=256 on the code2 tail bench)
+        self.pack_w2 = 384 if self.pack_w > 384 else 0
 
         # strided (dense) node layout: graph i owns rows [i*stride, ...) so
         # aggregation runs scatter-free as one-hot matmuls (ops/dense_mp.py).
