@@ -145,19 +145,21 @@ def build_code2(batch_size=512, emb=300, seed=0, precision="bf16",
     # for heavy-tailed datasets — packs each graph's kept nodes + CLS into
     # [R, W] rows with segment-masked attention instead of padding every
     # graph to the dataset max (which OOMs at bs=512 and pads ~8x)
-    pack_w = pack_w2 = 0
+    pack_w = pack_w2 = pack_w3 = 0
     if seq_pack:
         from graphtrans_tpu.data.batch import bucket_size
         max_keep = min(max(g["x"].shape[0] for g in graphs), 1000)
         pack_w = bucket_size(max_keep + 1, 128)
-        # two-tier: small graphs in narrow rows (attention ~ sum W_r^2);
+        # multi-tier: small graphs in narrow rows (attention ~ sum W_r^2);
         # single-tier when everything already fits the fused kernel's W
         pack_w2 = 384 if pack_w > 384 else 0  # measured 71.0 vs 73.3 ms at 256
+        pack_w3 = 128 if pack_w2 > 0 else 0   # the distribution's bulk tier
     batch = collate(graphs, batch_size + 1, caps[0], caps[1],
                     num_tasks=len(vocab2idx), max_seq_len=5,
                     y_dtype="int32", scatter_free=True,
                     ell_explicit=(model == "pna-transformer"),
-                    seq_pack_w=pack_w, seq_pack_w2=pack_w2)
+                    seq_pack_w=pack_w, seq_pack_w2=pack_w2,
+                    seq_pack_w3=pack_w3)
     deg = None
     if model == "pna-transformer":
         # reference PNA code2 config (configs/code2/pna-transformer/
@@ -337,6 +339,10 @@ def measure_code2(workload, batch_size, precision, prng, mode, iters,
                     "rows": batch.pack2_rows, "w": batch.pack2_w,
                     "tokens": int(
                         (np.asarray(batch.pack2_seg) >= 0).sum())}),
+                "tier3": (None if batch.pack3_node is None else {
+                    "rows": batch.pack3_rows, "w": batch.pack3_w,
+                    "tokens": int(
+                        (np.asarray(batch.pack3_seg) >= 0).sum())}),
                 "dense_tokens_equiv": int(np.asarray(
                     batch.graph_mask).shape[0]) * (S + 1),
             }),

@@ -130,6 +130,12 @@ class GraphBatch:
     pack2_node: Any = None          # [R2*W2] i32
     pack2_seg: Any = None           # [R2*W2] i32
     pack2_inv: Any = None           # [N] i32 node -> tier-2 slot
+    # third (smallest-graph) tier — the heavy-tail distribution's bulk
+    # (mean ~125 nodes) rides W3=128 rows at 1/9 the per-token attention
+    # cost of the W2=384 tier
+    pack3_node: Any = None          # [R3*W3] i32
+    pack3_seg: Any = None           # [R3*W3] i32
+    pack3_inv: Any = None           # [N] i32 node -> tier-3 slot
 
     # --- static metadata (aux_data, not traced) ---
     max_nodes_dense: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -138,6 +144,8 @@ class GraphBatch:
     pack_rows: int = dataclasses.field(default=0, metadata=dict(static=True))
     pack2_w: int = dataclasses.field(default=0, metadata=dict(static=True))
     pack2_rows: int = dataclasses.field(default=0, metadata=dict(static=True))
+    pack3_w: int = dataclasses.field(default=0, metadata=dict(static=True))
+    pack3_rows: int = dataclasses.field(default=0, metadata=dict(static=True))
     sfa_nb: int = dataclasses.field(default=0, metadata=dict(static=True))
     sfa_eb: int = dataclasses.field(default=0, metadata=dict(static=True))
     sfa_pool_eb: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -204,6 +212,8 @@ def collate(
     seq_pack_rows: int = 0,
     seq_pack_w2: int = 0,
     seq_pack_rows2: int = 0,
+    seq_pack_w3: int = 0,
+    seq_pack_rows3: int = 0,
 ) -> GraphBatch:
     """Assemble a list of host-side graph dicts into one padded GraphBatch.
 
@@ -402,17 +412,19 @@ def collate(
     # while aggregation keeps the strided one-hot route
     pack = None
     if seq_pack_w > 0:
-        from ..ops.pack import build_pack_fields, build_pack_fields_two_tier
+        from ..ops.pack import build_pack_fields_tiers
 
-        if seq_pack_w2 > 0 and seq_pack_w2 < seq_pack_w:
-            pack = build_pack_fields_two_tier(
-                num_nodes, graph_mask, node_offsets, N, seq_pack_w,
-                seq_pack_w2, max_input_len, rows_cap=seq_pack_rows,
-                rows2_cap=seq_pack_rows2)
-        else:
-            pack = build_pack_fields(num_nodes, graph_mask, node_offsets, N,
-                                     seq_pack_w, max_input_len,
-                                     rows_cap=seq_pack_rows)
+        widths = [seq_pack_w]
+        caps = [seq_pack_rows]
+        if 0 < seq_pack_w2 < seq_pack_w:
+            widths.append(seq_pack_w2)
+            caps.append(seq_pack_rows2)
+            if 0 < seq_pack_w3 < seq_pack_w2:
+                widths.append(seq_pack_w3)
+                caps.append(seq_pack_rows3)
+        pack = build_pack_fields_tiers(num_nodes, graph_mask, node_offsets,
+                                       N, tuple(widths), max_input_len,
+                                       tuple(caps))
 
     dense_adj = None
     if with_dense_adj:

@@ -107,11 +107,11 @@ class GraphLoader:
         # 56.5 -> 51.7 ms on the flagship step)
         self.seq_pack = (seq_pack and hybrid_shards <= 1
                          and not with_dense_adj)
-        # normalized to a (tier1, tier2) tuple; int pins tier 1 only
+        # normalized to a (tier1, tier2, tier3) tuple; int pins tier 1 only
         if isinstance(pack_rows_cap, tuple):
-            self._pack_rows_cap = pack_rows_cap
+            self._pack_rows_cap = (pack_rows_cap + (0,) * 3)[:3]
         else:
-            self._pack_rows_cap = ((pack_rows_cap, 0)
+            self._pack_rows_cap = ((pack_rows_cap, 0, 0)
                                    if pack_rows_cap > 0 else None)
         self.graphs = [dict(g, _id=i) for i, g in enumerate(graphs)]
         # size table for the vectorized planning pass (numpy cumsum per
@@ -155,6 +155,10 @@ class GraphLoader:
         # efficient medium-S kernel and fewer wide flash_hil rows remain
         # (measured 71.0 vs 73.3 ms at W2=256 on the code2 tail bench)
         self.pack_w2 = 384 if self.pack_w > 384 else 0
+        # third W=128 tier for the distribution's bulk (heavy-tailed
+        # datasets: mean ~125 nodes) — 1/9 the per-token attention cost of
+        # the W2 tier, same fused seg kernel class
+        self.pack_w3 = 128 if self.pack_w2 > 0 else 0
 
         # strided (dense) node layout: graph i owns rows [i*stride, ...) so
         # aggregation runs scatter-free as one-hot matmuls (ops/dense_mp.py).
@@ -344,52 +348,44 @@ class GraphLoader:
         from ..ops.pack import plan_seq_pack
 
         max_keep = min(self.pack_w - 1, self.max_input_len)
-        need = need2 = 1
+        widths = [w for w in (self.pack_w, self.pack_w2, self.pack_w3) if w]
+        need = [1] * len(widths)
         for s in range(samples):
             order = np.arange(len(self.graphs))
             np.random.default_rng(self.seed + 104729 * (s + 1)).shuffle(order)
             for plan in self._plan_chunks(order)[:plans_per]:
                 tokens = np.minimum(self._sizes_n[plan], max_keep) + 1
-                if self.pack_w2 > 0:
-                    small = tokens <= self.pack_w2
-                    need = max(need,
-                               plan_seq_pack(tokens[~small], self.pack_w)[0])
-                    need2 = max(need2, plan_seq_pack(tokens[small],
-                                                     self.pack_w2)[0])
-                else:
-                    need = max(need, plan_seq_pack(tokens, self.pack_w)[0])
+                # each graph to the NARROWEST tier that fits (ops/pack.py)
+                tier = np.zeros(len(tokens), np.int32)
+                for t, Wt in enumerate(widths[1:], start=1):
+                    tier = np.where(tokens <= Wt, t, tier)
+                for t, Wt in enumerate(widths):
+                    need[t] = max(need[t],
+                                  plan_seq_pack(tokens[tier == t], Wt)[0])
         slack = 1.1 if self._sfa_split_ok else 1.25
         rup = lambda x: -(-int(x * slack + 1) // 4) * 4
-        return rup(need), (rup(need2) if self.pack_w2 > 0 else 0)
+        return tuple(rup(n) for n in need) + (0,) * (3 - len(widths))
 
     def _attach_pack(self, batch):
         if not self.seq_pack or batch is None:
             return batch
         import dataclasses
 
-        from ..ops.pack import build_pack_fields
-
         if self._pack_rows_cap is None:
             self._pack_rows_cap = self._sample_pack_rows()
-        cap1, cap2 = self._pack_rows_cap
         nn_ = np.asarray(batch.num_nodes, np.int64)
         if batch.node_stride > 0:
             offs = np.arange(len(nn_), dtype=np.int64) * batch.node_stride
         else:
             offs = np.zeros(len(nn_), np.int64)
             np.cumsum(nn_[:-1], out=offs[1:])
-        if self.pack_w2 > 0:
-            from ..ops.pack import build_pack_fields_two_tier
+        from ..ops.pack import build_pack_fields_tiers
 
-            fields = build_pack_fields_two_tier(
-                nn_, np.asarray(batch.graph_mask), offs,
-                batch.num_node_slots, self.pack_w, self.pack_w2,
-                self.max_input_len, rows_cap=cap1, rows2_cap=cap2)
-        else:
-            fields = build_pack_fields(
-                nn_, np.asarray(batch.graph_mask), offs,
-                batch.num_node_slots, self.pack_w, self.max_input_len,
-                rows_cap=cap1)
+        widths = [w for w in (self.pack_w, self.pack_w2, self.pack_w3) if w]
+        fields = build_pack_fields_tiers(
+            nn_, np.asarray(batch.graph_mask), offs, batch.num_node_slots,
+            tuple(widths), self.max_input_len,
+            self._pack_rows_cap[:len(widths)])
         if fields is None:
             return batch  # caller splits (single consumer) or strips (group)
         return dataclasses.replace(batch, **fields)
@@ -404,7 +400,9 @@ class GraphLoader:
             batch, pack_node=None, pack_seg=None, pack_cls_slot=None,
             pack_inv=None, pack_w=0, pack_rows=0,
             pack2_node=None, pack2_seg=None, pack2_inv=None,
-            pack2_w=0, pack2_rows=0)
+            pack2_w=0, pack2_rows=0,
+            pack3_node=None, pack3_seg=None, pack3_inv=None,
+            pack3_w=0, pack3_rows=0)
 
     def _collate_one(self, plan):
         if self.packed is not None:

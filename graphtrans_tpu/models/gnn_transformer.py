@@ -51,15 +51,20 @@ def packed_transformer_stage(encoder, h_node, batch, training: bool):
         out, _ = encoder(dense, valid, training, seg=seg, cls_mask=cls_mask)
         return out.reshape(R * W, d)
 
-    flat = run_tier(batch.pack_node, batch.pack_inv, batch.pack_seg,
-                    batch.pack_rows, batch.pack_w)
+    # multi-tier packing: smaller graphs run in narrower rows (attention
+    # cost ~ sum_rows W_r^2); the shared-parameter encoder runs once per
+    # tier and pack_cls_slot indexes the virtual concat of the tiers
+    flats = [run_tier(batch.pack_node, batch.pack_inv, batch.pack_seg,
+                      batch.pack_rows, batch.pack_w)]
     if batch.pack2_node is not None:
-        # two-tier packing: small graphs run in narrow rows (attention cost
-        # ~ sum_rows W_r^2); the shared-parameter encoder runs once per
-        # tier and pack_cls_slot indexes the virtual concat
-        flat2 = run_tier(batch.pack2_node, batch.pack2_inv, batch.pack2_seg,
-                         batch.pack2_rows, batch.pack2_w)
-        flat = jnp.concatenate([flat, flat2], axis=0)
+        flats.append(run_tier(batch.pack2_node, batch.pack2_inv,
+                              batch.pack2_seg, batch.pack2_rows,
+                              batch.pack2_w))
+    if batch.pack3_node is not None:
+        flats.append(run_tier(batch.pack3_node, batch.pack3_inv,
+                              batch.pack3_seg, batch.pack3_rows,
+                              batch.pack3_w))
+    flat = flats[0] if len(flats) == 1 else jnp.concatenate(flats, axis=0)
     return flat[batch.pack_cls_slot]
 
 

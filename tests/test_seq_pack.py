@@ -389,8 +389,9 @@ def test_dp_step_with_packed_batches_matches_dense():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
-def test_two_tier_packed_model_matches_dense():
-    """Two-tier packing (big graphs in wide rows, small in narrow) must be
+@pytest.mark.parametrize("tiers", ["two", "three"])
+def test_two_tier_packed_model_matches_dense(tiers):
+    """Multi-tier packing (big graphs in wide rows, small in narrow) must be
     numerically identical to the dense path — same readout, same grads."""
     from graphtrans_tpu.models import MODELS
     from graphtrans_tpu.nn.encoders import LinearNodeEncoder, ZeroEdgeEncoder
@@ -403,8 +404,11 @@ def test_two_tier_packed_model_matches_dense():
     kw = dict(num_tasks=2, y_dtype="int32")
     b_dense = collate(graphs, 25, 4096, 16384, **kw)
     b_two = collate(graphs, 25, 4096, 16384, seq_pack_w=256,
-                    seq_pack_w2=128, **kw)
+                    seq_pack_w2=128,
+                    seq_pack_w3=64 if tiers == "three" else 0, **kw)
     assert b_two.pack2_node is not None and b_two.pack2_rows > 0
+    if tiers == "three":
+        assert b_two.pack3_node is not None and b_two.pack3_rows > 0
     v = model.init({"params": jax.random.key(0),
                     "dropout": jax.random.key(1)}, b_two, None, False)
     out_p = model.apply(v, b_two, None, False)
@@ -441,29 +445,35 @@ def test_two_tier_loader_fields_cover_every_graph():
                      y_dtype="int32", seq_pack=True, use_native=False)
     b = next(iter(ld))
     assert b.pack2_node is not None
+    assert b.pack3_node is not None  # heavy-tailed dataset: 3 tiers
     N = b.num_node_slots
-    off = b.pack_rows * b.pack_w
-    pn1, pn2 = np.asarray(b.pack_node), np.asarray(b.pack2_node)
-    in1 = np.asarray(b.pack_inv) < off
-    in2 = np.asarray(b.pack2_inv) < b.pack2_rows * b.pack2_w
-    nm = np.asarray(b.node_mask)
+    tiers = [(b.pack_node, b.pack_inv, b.pack_seg, b.pack_rows, b.pack_w),
+             (b.pack2_node, b.pack2_inv, b.pack2_seg, b.pack2_rows, b.pack2_w),
+             (b.pack3_node, b.pack3_inv, b.pack3_seg, b.pack3_rows, b.pack3_w)]
+    offs = np.cumsum([0] + [r * w for _, _, _, r, w in tiers])
+    ins = [np.asarray(inv) < r * w for _, inv, _, r, w in tiers]
     max_keep = min(b.pack_w - 1, 1000)
     nn_ = np.asarray(b.num_nodes)
     # every valid, non-truncated node in exactly one tier
-    assert not np.any(in1 & in2)
+    for i in range(len(ins)):
+        for j in range(i + 1, len(ins)):
+            assert not np.any(ins[i] & ins[j])
     kept = int(np.minimum(nn_, max_keep).sum())
-    assert int(in1.sum() + in2.sum()) == kept
-    # cls slots: small graphs' land in tier 2's range
+    assert int(sum(x.sum() for x in ins)) == kept
+    # cls slots: each graph's lands in the NARROWEST tier that fits it
     gm = np.asarray(b.graph_mask)
     cls = np.asarray(b.pack_cls_slot)[gm]
-    small = (nn_[gm] + 1) <= b.pack2_w
-    assert np.all(cls[small] >= off)
-    assert np.all(cls[~small] < off)
+    tokens = np.minimum(nn_[gm], max_keep) + 1
+    tier_of = np.zeros(len(tokens), np.int32)
+    for t, (_, _, _, _, w) in list(enumerate(tiers))[1:]:
+        tier_of = np.where(tokens <= w, t, tier_of)
+    assert np.all((cls >= offs[tier_of]) & (cls < offs[tier_of + 1]))
     # the slot really is the graph's own CLS (seg matches, gathers zero row)
-    seg2 = np.asarray(b.pack2_seg)
-    for gi, c in zip(np.nonzero(gm)[0], cls):
-        if c >= off:
-            assert seg2[c - off] == gi and pn2[c - off] == N
+    for gi, c, t in zip(np.nonzero(gm)[0], cls, tier_of):
+        pn_t = np.asarray(tiers[t][0])
+        seg_t = np.asarray(tiers[t][2])
+        loc = c - offs[t]
+        assert seg_t[loc] == gi and pn_t[loc] == N
 
 
 def test_strided_layout_with_packed_transformer_matches():
