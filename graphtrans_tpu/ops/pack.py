@@ -106,22 +106,6 @@ def build_pack_fields(num_nodes: np.ndarray, graph_mask: np.ndarray,
     }
 
 
-def build_pack_fields_two_tier(num_nodes: np.ndarray, graph_mask: np.ndarray,
-                               node_offsets: np.ndarray, N: int, W: int,
-                               W2: int, max_keep: int, rows_cap: int = 0,
-                               rows2_cap: int = 0):
-    """Two-tier packing: graphs with <= W2 tokens pack into [R2, W2] rows
-    (the fused medium-S kernel's regime), the tail into [R, W] rows.
-    Attention cost is sum_rows W_r^2, so moving the ~55% of tokens that
-    belong to small graphs from W=1024 rows to W2=256 rows cuts the
-    transformer's attention work ~1.7x at code2's size distribution.
-    The CLS readout indexes the VIRTUAL concat [R*W + R2*W2) so the model
-    gathers from concat(out_big, out_small) with one index array. Returns
-    None on overflow of either pinned cap."""
-    return build_pack_fields_tiers(num_nodes, graph_mask, node_offsets, N,
-                                   (W, W2), max_keep, (rows_cap, rows2_cap))
-
-
 def build_pack_fields_tiers(num_nodes: np.ndarray, graph_mask: np.ndarray,
                             node_offsets: np.ndarray, N: int,
                             widths, max_keep: int, rows_caps):
